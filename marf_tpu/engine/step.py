@@ -1,0 +1,186 @@
+"""The jitted train step and scan-chunked training loop.
+
+This is the TPU replacement for the reference's per-iteration Python loop
+(reference model/planar.py:187-209): one pure function
+(TrainState, data) -> (TrainState, metrics) compiled once, then `lax.scan`
+over a chunk of steps so the host dispatches one XLA program per
+`gcd(freq.scalar, freq.vis)` iterations instead of per iteration. The alpha
+and c2f schedules are traced functions of `state.step`, so a single
+executable serves all 3000 iterations (SURVEY.md §7 design stance).
+
+Optimizer groups mirror the reference (model/planar.py:89-96): the neural
+image at optim.lr, warp params at optim.lr_warp, implicit-mask head(s) at
+optim.lr_mask — via `optax.multi_transform`. The view embedding is *frozen*,
+faithfully: the reference never adds `embedding_view` to any optimizer param
+group (model/planar.py:89-96 adds only neural_image / warp_param /
+implicit_mask parameters), so it stays at its N(0,1) init; set
+optim.train_view_embedding=true for the fix-mode.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from marf_tpu.models.planar import PlanarConfig, graph_forward, graph_loss
+from marf_tpu.ops.lie import sl3_to_SL3
+from marf_tpu.ops.losses import (
+    check_finite,
+    homography_error,
+    mse,
+    psnr_from_rgb_loss,
+    summarize_loss,
+)
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Explicit training state pytree: {step, params, opt_state}."""
+
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def _label_params(params: dict) -> dict:
+    """Map top-level param groups to optimizer labels."""
+    group_of = {
+        "neural_image": "mlp",
+        "warp": "warp",
+        "implicit_mask": "mask",
+        "view_embedding": "frozen",
+    }
+    return {k: jax.tree.map(lambda _: group_of[k], v) for k, v in params.items()}
+
+
+def _lr_schedule(base_lr: float, optim_opt: dict, max_iter: int):
+    """Build a per-step LR schedule from the reference's `optim.sched` keys.
+
+    The reference constructs a torch scheduler but never calls .step()
+    (verified: no sched.step() in model/planar.py), so its schedules are
+    inert; here they are implemented for real (stepped per iteration):
+      - StepLR: lr * gamma^(floor(step / steps))
+      - ExponentialLR: gamma, or derived from optim.lr_end over max_iter
+        (gamma = (lr_end / lr) ** (1 / max_iter), BARF convention).
+    """
+    sched = optim_opt.get("sched") or {}
+    stype = sched.get("type")
+    if not stype:
+        return base_lr
+    if stype == "StepLR":
+        steps, gamma = int(sched["steps"]), float(sched.get("gamma", 0.1))
+        return lambda count: base_lr * (gamma ** (count // steps))
+    if stype == "ExponentialLR":
+        if sched.get("gamma") is not None:
+            gamma = float(sched["gamma"])
+        else:
+            lr_end = float(optim_opt["lr_end"])
+            gamma = (lr_end / base_lr) ** (1.0 / max_iter)
+        return optax.exponential_decay(base_lr, transition_steps=1, decay_rate=gamma)
+    raise ValueError(f"unsupported scheduler type: {stype}")
+
+
+def _algo(name: str, lr) -> optax.GradientTransformation:
+    """Map the reference's `optim.algo` (torch optimizer names,
+    options/planar.yaml:78) to optax with torch-default hyperparameters."""
+    if name == "Adam":
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if name == "AdamW":
+        return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    if name == "SGD":
+        return optax.sgd(lr)
+    if name == "RMSprop":
+        return optax.rmsprop(lr, decay=0.99, eps=1e-8)
+    raise ValueError(f"unsupported optimizer: {name}")
+
+
+def make_optimizer(optim_opt: dict, max_iter: int) -> optax.GradientTransformation:
+    """Per-group optimizer (reference model/planar.py:86-104)."""
+    algo = optim_opt.get("algo", "Adam")
+    train_view = bool(optim_opt.get("train_view_embedding", False))
+    transforms = {
+        "mlp": _algo(algo, _lr_schedule(float(optim_opt["lr"]), optim_opt, max_iter)),
+        "warp": _algo(algo, _lr_schedule(float(optim_opt.get("lr_warp", optim_opt["lr"])), optim_opt, max_iter)),
+        "mask": _algo(algo, _lr_schedule(float(optim_opt.get("lr_mask", optim_opt["lr"])), optim_opt, max_iter)),
+        "frozen": _algo(algo, float(optim_opt.get("lr_mask", optim_opt["lr"]))) if train_view else optax.set_to_zero(),
+    }
+    return optax.multi_transform(transforms, _label_params)
+
+
+def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(step=jnp.zeros((), dtype=jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_homographies: bool = True):
+    """Build the pure (state, data) -> (state, metrics) step function.
+
+    Metric timing matches the reference's `log_scalars` call site
+    (model/planar.py:199-201): loss terms/PSNR from the *pre-update* forward,
+    Homography_Error from the *post-update* warp (but before the fix_first
+    re-zeroing, which the reference applies after logging,
+    model/planar.py:156-158).
+    """
+    compute_mask_error = cfg.use_implicit_mask and cfg.use_masks
+
+    def step_fn(state: TrainState, data: dict):
+        step = state.step
+        progress = step.astype(jnp.float32) / cfg.max_iter
+
+        def loss_fn(params):
+            outputs = graph_forward(params, data, cfg, progress)
+            loss = graph_loss(outputs, data, cfg, step)
+            total = summarize_loss(loss, cfg.loss_weight)
+            return total, (loss, outputs)
+
+        (total, (loss, outputs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {f"loss_{k}": v for k, v in loss.items()}
+        metrics["all"] = total
+        metrics["PSNR"] = psnr_from_rgb_loss(loss["rgb"])
+        metrics["finite"] = check_finite(loss)
+        if use_homographies and data.get("gt_hom") is not None:
+            metrics["Homography_Error"] = homography_error(sl3_to_SL3(params["warp"]), data["gt_hom"])
+        if compute_mask_error:
+            metrics["Mask_Error"] = mse(outputs["mask_prediction_map"], data["masks"])
+
+        if cfg.fix_first:
+            # Pin the gauge: re-zero the first image's warp after each update
+            # (reference model/planar.py:157-158).
+            params = dict(params, warp=params["warp"].at[0].set(0.0))
+
+        new_state = TrainState(step=step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_train_chunk(step_fn, n_steps: int, donate: bool = True):
+    """Compile `n_steps` train steps into one `lax.scan` program.
+
+    Returns a jitted (state, data) -> (state, stacked_metrics) with metrics
+    stacked [n_steps, ...] so the host can publish the reference's exact
+    scalar cadence from one dispatch.
+    """
+
+    def chunk(state: TrainState, data: dict):
+        def body(carry, _):
+            new_state, metrics = step_fn(carry, data)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())
+
+
+def chunk_schedule(max_iter: int, freq_scalar: int, freq_vis: int) -> int:
+    """Chunk length: the largest step count whose boundaries hit every
+    scalar-log and vis cadence point."""
+    c = math.gcd(int(freq_scalar), int(freq_vis))
+    return max(1, min(c, max_iter))

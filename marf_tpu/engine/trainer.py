@@ -1,0 +1,257 @@
+"""Trainer lifecycle — the engine around the jitted step.
+
+Same 5-phase lifecycle as the reference `Model` (reference train.py:24-31,
+model/planar.py:31-292): load_dataset -> build_networks -> setup_optimizer ->
+setup_visualizer -> train. Observable surface preserved: TensorBoard tags
+`train/loss_*`, `train/PSNR`, `train/Homography_Error`, `train/Mask_Error` at
+`freq.scalar`; image panels + per-vis PNG frame dumps at `freq.vis`; final
+vis.mp4 mux; console EMA iteration timer.
+
+TPU-native differences: the loop advances `gcd(freq.scalar, freq.vis)` steps
+per XLA dispatch (scan chunk, donated state); metrics are stacked on device
+and only synced at log boundaries; the full-image render is a second jitted
+program. Plus a real checkpoint/resume capability the reference only stubs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import tqdm
+
+from marf_tpu.data.planar import device_put_dataset, load_planar_dataset, synthesize_planar_dataset
+from marf_tpu.engine import checkpoint as ckpt_lib
+from marf_tpu.engine.step import (
+    chunk_schedule,
+    init_train_state,
+    make_optimizer,
+    make_train_chunk,
+    make_train_step,
+)
+from marf_tpu.models.neural_image import apply_neural_image
+from marf_tpu.models.planar import PlanarConfig, graph_forward, init_graph_params
+from marf_tpu.ops.grid import normalized_pixel_grid
+from marf_tpu.utils import vis as vis_lib
+from marf_tpu.utils.console import IterTimer, colorcode_to_number, log
+
+
+class Model:
+    """Planar bundle-adjustment trainer (drop-in lifecycle of the reference Model)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.cfg = PlanarConfig.from_options(opt)
+        self.batch_size = self.cfg.batch_size
+        self.dataset = opt.get("dataset")
+        os.makedirs(opt.output_path, exist_ok=True)
+        self.use_homographies = bool(opt.get("use_homographies", False))
+        self.data = None
+        self.state = None
+        self.tx = None
+        self.tb = None
+        self.box_colors = None
+        self.vis_path = None
+        self.video_fname = None
+        self.timer = None
+        self.it = 0
+        self.vis_it = 0
+        self._step_fn = None
+        self._chunks = {}
+        self._forward_jit = None
+        self._render_jit = None
+
+    # ---------------------------------------------------------------- phases
+
+    def load_dataset(self):
+        """Phase 1: load + preprocess once, device_put (reference model/planar.py:59-78)."""
+        log.info("loading dataset...")
+        if self.dataset == "synthetic":
+            raw = synthesize_planar_dataset(self.cfg, seed=int(self.opt.get("seed") or 0))
+            if not self.cfg.use_masks:
+                raw = dict(raw, masks=None, masks_eroded=None)
+        else:
+            raw = load_planar_dataset(
+                self.cfg,
+                self.dataset,
+                root=(self.opt.get("data") or {}).get("root"),
+                use_masks=self.cfg.use_masks or self.cfg.use_implicit_mask,
+                use_homographies=self.use_homographies,
+                use_edges=self.cfg.use_edges,
+            )
+        if raw.get("gt_hom") is None:
+            self.use_homographies = False
+        self.data = device_put_dataset(raw)
+
+    def build_networks(self):
+        """Phase 2: init params (reference model/planar.py:81-84)."""
+        log.info("building networks...")
+        key = jax.random.PRNGKey(int(self.opt.get("seed") or 0))
+        self.params = init_graph_params(key, self.cfg)
+
+    def setup_optimizer(self):
+        """Phase 3: per-group optimizer + state (reference model/planar.py:86-104),
+        honoring load/resume checkpoints (capability the reference stubs)."""
+        log.info("setting up optimizers...")
+        self.tx = make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
+        self.state = init_train_state(self.params, self.tx)
+        restore = ckpt_lib.resolve_restore_path(
+            self.opt.output_path, self.opt.get("load"), self.opt.get("resume")
+        )
+        if restore:
+            log.info(f"restoring checkpoint from {restore}")
+            self.state = ckpt_lib.restore_checkpoint(restore, self.state)
+            self.it = int(self.state.step)
+
+    def setup_visualizer(self):
+        """Phase 4: TB writer, vis dir, border colors (reference model/planar.py:106-134)."""
+        log.info("setting up visualizers...")
+        if self.opt.get("tb") is not None:
+            from marf_tpu.utils.tb import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir=self.opt.output_path, flush_secs=10)
+        colors = [colorcode_to_number(c) for c in vis_lib.BOX_COLORS[: self.batch_size]]
+        self.box_colors = np.array(colors).astype(int)
+        self.vis_path = f"{self.opt.output_path}/vis"
+        os.makedirs(self.vis_path, exist_ok=True)
+        self.video_fname = f"{self.opt.output_path}/vis.mp4"
+
+    # ------------------------------------------------------------- compiled fns
+
+    def _build_compiled(self):
+        self._step_fn = make_train_step(self.cfg, self.tx, use_homographies=self.use_homographies)
+        cfg = self.cfg
+
+        def forward(params, data, progress):
+            return graph_forward(params, data, cfg, progress)
+
+        self._forward_jit = jax.jit(forward)
+
+        full_grid = normalized_pixel_grid(cfg.grid_spec, crop=False)
+
+        def render(params, progress):
+            rgb = apply_neural_image(params["neural_image"], full_grid, cfg.arch, progress)
+            return rgb.reshape(cfg.H, cfg.W, 3).transpose(2, 0, 1)  # [3, H, W]
+
+        self._render_jit = jax.jit(render)
+
+    def _chunk(self, n: int):
+        if n not in self._chunks:
+            self._chunks[n] = make_train_chunk(self._step_fn, n)
+        return self._chunks[n]
+
+    # ------------------------------------------------------------------ train
+
+    def train(self):
+        """Phase 5: the training loop (reference model/planar.py:136-170)."""
+        log.title("TRAINING START")
+        self.timer = IterTimer()
+        self._build_compiled()
+        freq = self.opt.freq
+        max_iter = int(self.cfg.max_iter)
+        c = chunk_schedule(max_iter, freq.scalar, freq.vis)
+
+        # iteration-0 visualization (reference model/planar.py:152-153)
+        self.visualize(step=0)
+
+        pbar = tqdm.tqdm(total=max_iter, desc="Training", leave=False, initial=self.it)
+        postfix = {}
+        while self.it < max_iter:
+            n = min(c, max_iter - self.it)
+            self.timer.tic()
+            self.state, metrics = self._chunk(n)(self.state, self.data)
+            jax.block_until_ready(self.state.params["warp"])
+            self.timer.toc(n)
+            self.it += n
+            if self.it % freq.scalar == 0:
+                row = {k: np.asarray(v)[-1] for k, v in metrics.items()}
+                if not bool(row.pop("finite", True)):
+                    raise FloatingPointError(f"non-finite loss at iteration {self.it}: {row}")
+                if self.tb:
+                    self.log_scalars(row, step=self.it)
+                postfix = dict(it=self.it, loss=f"{float(row['all']):.3f}", it_per_sec=f"{self.timer.steps_per_sec:.1f}")
+            if self.it % freq.vis == 0:
+                self.visualize(step=self.it)
+            ckpt_freq = freq.get("ckpt")
+            if ckpt_freq and self.it % ckpt_freq == 0:
+                ckpt_lib.save_checkpoint(self.opt.output_path, self.state)
+            pbar.update(n)
+            pbar.set_postfix(**postfix)
+        pbar.close()
+
+        if self.opt.get("save_checkpoint", True):
+            ckpt_lib.save_checkpoint(self.opt.output_path, self.state)
+        self._mux_video()
+        if self.tb:
+            self.tb.flush()
+            self.tb.close()
+        log.info(f"mean steps/sec: {self.timer.steps_per_sec:.2f}")
+        log.title("TRAINING DONE")
+
+    # ------------------------------------------------------------ observability
+
+    def log_scalars(self, row: dict, step: int, split: str = "train"):
+        """Publish the reference's exact scalar tags (model/planar.py:226-254)."""
+        for key in ("render", "rgb", "mask", "edge"):
+            if self.cfg.loss_weight.get(key) is not None and f"loss_{key}" in row:
+                self.tb.add_scalar(f"{split}/loss_{key}", row[f"loss_{key}"], step)
+        if "Mask_Error" in row:
+            self.tb.add_scalar(f"{split}/Mask_Error", row["Mask_Error"], step)
+        if "Homography_Error" in row:
+            self.tb.add_scalar(f"{split}/Homography_Error", row["Homography_Error"], step)
+        self.tb.add_scalar(f"{split}/PSNR", row["PSNR"], step)
+
+    def predict_entire_image(self) -> np.ndarray:
+        """Full-canvas render from the neural image (reference model/planar.py:211-217)."""
+        progress = jnp.asarray(max(self.it - 1, 0) / self.cfg.max_iter, dtype=jnp.float32)
+        return np.asarray(self._render_jit(self.state.params, progress))
+
+    def visualize(self, step: int = 0, split: str = "train"):
+        """Frame dump + TB image panels (reference model/planar.py:256-292)."""
+        if self._render_jit is None:
+            self._build_compiled()
+        frame = self.predict_entire_image()  # [3, H, W]
+        frame_u8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8).transpose(1, 2, 0)
+        from PIL import Image
+
+        Image.fromarray(frame_u8).save(f"{self.vis_path}/{self.vis_it}.png")
+        self.vis_it += 1
+        if not self.tb:
+            return
+        colors = self.box_colors
+        if self.vis_it == 1:
+            rgb = np.asarray(self.data["rgb"])
+            vis_lib.tb_image(self.opt, self.tb, self.it + 1, split, "input_images", vis_lib.color_border(rgb, colors))
+            if self.cfg.use_masks and self.data.get("masks") is not None:
+                masks = np.asarray(self.data["masks"])
+                vis_lib.tb_image(self.opt, self.tb, self.it + 1, split, "input_masks", vis_lib.color_border(masks, colors))
+        vis_lib.tb_image(self.opt, self.tb, self.it + 1, split, "predicted_image", frame[None])
+        if self.cfg.use_implicit_mask:
+            progress = jnp.asarray(max(self.it - 1, 0) / self.cfg.max_iter, dtype=jnp.float32)
+            out = self._forward_jit(self.state.params, self.data, progress)
+            h, w = self.cfg.map_hw
+            mask_formed = np.asarray(out["mask_prediction"]).reshape(self.batch_size, h, w, 1).transpose(0, 3, 1, 2)
+            vis_lib.tb_image(
+                self.opt, self.tb, self.it + 1, split, "implicit_masks",
+                vis_lib.color_border(mask_formed, colors, width=1, depth=1),
+            )
+
+    def _mux_video(self):
+        """vis.mp4 from the frame dumps (reference model/planar.py:163-165);
+        gated on ffmpeg availability."""
+        ffmpeg = shutil.which("ffmpeg")
+        if not ffmpeg:
+            log.warn("ffmpeg not found; skipping vis.mp4 mux (frames kept in vis/)")
+            return
+        subprocess.run(
+            [ffmpeg, "-y", "-framerate", "30", "-i", f"{self.vis_path}/%d.png", "-pix_fmt", "yuv420p", self.video_fname],
+            check=False,
+            capture_output=True,
+        )

@@ -1,0 +1,102 @@
+"""The coordinate-MLP "neural image" with BARF coarse-to-fine posenc.
+
+Capability parity with `NeuralImageFunction` (reference model/planar.py:
+395-471): 2 + 4*L input features (xy concat posenc), hidden stack from
+`arch.layers` with optional skip re-concats, ReLU inner activations, sigmoid
+output; under barf_c2f the first layer's init is rescaled by
+sqrt(input_dim/2) (model/planar.py:421-426) and the posenc bands are
+cosine-annealed by training progress (model/planar.py:462-470).
+
+TPU-native design: `progress` is a traced scalar input (derived from the step
+counter inside the jitted step) rather than a host-mutated parameter, so one
+compiled program serves the whole schedule; the forward is pure and shape-
+static, so XLA tiles the [B*HW, 256] matmuls onto the MXU. The Pallas-fused
+variant of this forward lives in `marf_tpu.ops.pallas.fused_mlp`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from marf_tpu.models.linear import init_linear, apply_linear
+from marf_tpu.ops.posenc import barf_posenc, barf_c2f_weights, apply_c2f
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuralImageConfig:
+    """Static architecture config (reference options/planar.yaml:33-39)."""
+
+    layers: tuple = (None, 256, 256, 256, 256, 3)
+    skip: tuple = ()
+    posenc_L: int | None = 8  # None -> raw-coordinate MLP (--arch.posenc!)
+    barf_c2f: tuple | None = None  # (start, end) or None
+
+    @property
+    def input_dim(self) -> int:
+        return 2 + 4 * self.posenc_L if self.posenc_L else 2
+
+    @property
+    def layer_dims(self) -> list:
+        """[(k_in, k_out)] with skip-widened inputs resolved
+        (reference model/planar.py:410-427 + util.get_layer_dims)."""
+        dims = list(zip(self.layers[:-1], self.layers[1:]))
+        resolved = []
+        for li, (k_in, k_out) in enumerate(dims):
+            if li == 0:
+                k_in = self.input_dim
+            if li in self.skip:
+                k_in += self.input_dim
+            resolved.append((k_in, k_out))
+        return resolved
+
+
+def init_neural_image(key: jax.Array, cfg: NeuralImageConfig, dtype=jnp.float32) -> dict:
+    """Init the MLP params; first-layer sqrt(input_dim/2) rescale under c2f
+    (reference model/planar.py:421-426 — the init distribution was tuned for
+    posenc inputs but only the raw xy passes through at progress=0)."""
+    params = {"mlp": []}
+    keys = jax.random.split(key, len(cfg.layer_dims))
+    for li, (k_in, k_out) in enumerate(cfg.layer_dims):
+        layer = init_linear(keys[li], k_in, k_out, dtype=dtype)
+        if cfg.barf_c2f is not None and li == 0:
+            scale = math.sqrt(cfg.input_dim / 2.0)
+            layer = {"w": layer["w"] * scale, "b": layer["b"] * scale}
+        params["mlp"].append(layer)
+    return params
+
+
+def encode_coords(coord: jax.Array, cfg: NeuralImageConfig, progress: jax.Array | None) -> jax.Array:
+    """Posenc + c2f banding + concat with raw coords
+    (reference model/planar.py:432-436, 451-471)."""
+    if not cfg.posenc_L:
+        return coord
+    enc = barf_posenc(coord, cfg.posenc_L)
+    if cfg.barf_c2f is not None:
+        assert progress is not None
+        weights = barf_c2f_weights(progress, tuple(cfg.barf_c2f), cfg.posenc_L, dtype=coord.dtype)
+        enc = apply_c2f(enc, weights)
+    return jnp.concatenate([coord, enc], axis=-1)
+
+
+def apply_neural_image(
+    params: dict,
+    coord: jax.Array,
+    cfg: NeuralImageConfig,
+    progress: jax.Array | None = None,
+) -> jax.Array:
+    """Forward: [..., 2] coords -> [..., 3] rgb in (0, 1)
+    (reference model/planar.py:429-449)."""
+    points_enc = encode_coords(coord, cfg, progress)
+    feat = points_enc
+    n_layers = len(params["mlp"])
+    for li, layer in enumerate(params["mlp"]):
+        if li in cfg.skip:
+            feat = jnp.concatenate([feat, points_enc], axis=-1)
+        feat = apply_linear(layer, feat)
+        if li != n_layers - 1:
+            feat = jax.nn.relu(feat)
+    return jax.nn.sigmoid(feat)

@@ -1,0 +1,222 @@
+"""The planar bundle-adjusting graph: joint homography + neural-image model.
+
+Capability parity with `Graph` (reference model/planar.py:296-391): per-image
+sl(3) warp parameters (zero-init, reference :310-311), the neural-image MLP,
+optional implicit mask head(s), edge prediction, and the composite loss
+(1-alpha)*rgb + 0.5*mask + alpha*edge with the masked-MSE normalization.
+
+TPU-native design: `graph_forward` and `graph_loss` are pure functions of
+(params, data, static config, traced step/progress) — no module state, no
+Python-loop-over-images (vmap), no host round-trips (in-graph Sobel). The
+engine jit-compiles them once into a scan-chunked train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from marf_tpu.models.implicit_mask import (
+    init_implicit_mask,
+    apply_implicit_mask,
+    init_view_embedding,
+    mask_head_inputs,
+)
+from marf_tpu.models.neural_image import NeuralImageConfig, init_neural_image, apply_neural_image
+from marf_tpu.ops.filters import compute_edges
+from marf_tpu.ops.grid import GridSpec, normalized_pixel_grid
+from marf_tpu.ops.losses import alpha_schedule, mask_counterweight, mse, render_loss
+from marf_tpu.ops.warp import warp_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanarConfig:
+    """All static (trace-time) configuration of the planar experiment.
+
+    Mirrors the keys of reference options/planar.yaml; frozen + hashable so it
+    can be a jit static argument without recompiles across steps.
+    """
+
+    H: int = 360
+    W: int = 480
+    patch_H: int = 180
+    patch_W: int = 240
+    batch_size: int = 5
+    max_iter: int = 3000
+    use_cropped_images: bool = True
+    # masks (planar.yaml:9-12)
+    use_masks: bool = True
+    use_implicit_mask: bool = False
+    build_single_masks: bool = False
+    N_vocab: int = 1500
+    # edges (planar.yaml:15-17)
+    use_edges: bool = True
+    alpha_initial: float = 0.0
+    alpha_final: float = 1.0
+    differentiable_edges: bool = False  # False = reference's stop-gradient edge term
+    mask_quantize_levels: int = 1  # 1 = reference's {0,1} image.long() quirk
+    # warp (planar.yaml:59-64)
+    warp_type: str = "homography"
+    warp_dof: int = 8
+    fix_first: bool = True
+    # architecture
+    arch: NeuralImageConfig = dataclasses.field(default_factory=NeuralImageConfig)
+    # loss weights in log10 scale; None disables a term (planar.yaml:67-71)
+    w_render: float | None = 0.0
+    w_rgb: float | None = 0.0
+    w_edge: float | None = 0.0
+    w_mask: float | None = 0.0
+
+    def __post_init__(self):
+        assert self.warp_type == "homography", "only homography warps are supported (reference warp.py:72-80)"
+        assert self.warp_dof == 8
+
+    @property
+    def grid_spec(self) -> GridSpec:
+        return GridSpec(H=self.H, W=self.W, patch_H=self.patch_H, patch_W=self.patch_W)
+
+    @property
+    def map_hw(self) -> tuple[int, int]:
+        """Spatial dims of prediction maps (reference model/planar.py:313-314)."""
+        if self.use_cropped_images:
+            return (self.patch_H, self.patch_W)
+        return (self.H, self.W)
+
+    @property
+    def loss_weight(self) -> dict:
+        return {"render": self.w_render, "rgb": self.w_rgb, "edge": self.w_edge, "mask": self.w_mask}
+
+    @classmethod
+    def from_options(cls, opt) -> "PlanarConfig":
+        """Build from a parsed options AttrDict (reference yaml key layout)."""
+        arch = NeuralImageConfig(
+            layers=tuple(opt.arch.layers),
+            skip=tuple(opt.arch.get("skip", []) or []),
+            posenc_L=(opt.arch.posenc.L_2D if opt.arch.get("posenc") else None),
+            barf_c2f=(tuple(opt.barf_c2f) if opt.get("barf_c2f") else None),
+        )
+        lw = opt.get("loss_weight", {})
+        tpu_opts = opt.get("tpu", {})
+        return cls(
+            H=opt.H,
+            W=opt.W,
+            patch_H=opt.patch_H,
+            patch_W=opt.patch_W,
+            batch_size=opt.batch_size,
+            max_iter=opt.max_iter,
+            use_cropped_images=bool(opt.get("use_cropped_images", True)),
+            use_masks=bool(opt.get("use_masks", True)),
+            use_implicit_mask=bool(opt.get("use_implicit_mask", False)),
+            build_single_masks=bool(opt.get("build_single_masks", False)),
+            N_vocab=int(opt.get("N_vocab", 1500)),
+            use_edges=bool(opt.get("use_edges", True)),
+            alpha_initial=float(opt.get("alpha_initial", 0.0)),
+            alpha_final=float(opt.get("alpha_final", 1.0)),
+            differentiable_edges=bool(tpu_opts.get("differentiable_edges", False)),
+            mask_quantize_levels=int(tpu_opts.get("mask_quantize_levels", 1)),
+            warp_type=opt.warp.type,
+            warp_dof=opt.warp.dof,
+            fix_first=bool(opt.warp.get("fix_first", True)),
+            arch=arch,
+            w_render=lw.get("render", 0.0),
+            w_rgb=lw.get("rgb", 0.0),
+            w_edge=lw.get("edge", 0.0),
+            w_mask=lw.get("mask", 0.0),
+        )
+
+
+def init_graph_params(key: jax.Array, cfg: PlanarConfig, dtype=jnp.float32) -> dict:
+    """Init all trainable parameters.
+
+    warp: [B, 8] zero-init sl(3) coordinates (reference model/planar.py:310-311).
+    """
+    k_img, k_mask, k_view = jax.random.split(key, 3)
+    params = {
+        "neural_image": init_neural_image(k_img, cfg.arch, dtype=dtype),
+        "warp": jnp.zeros((cfg.batch_size, cfg.warp_dof), dtype=dtype),
+    }
+    if cfg.use_implicit_mask:
+        if cfg.build_single_masks:
+            # One independently-initialized head per image, stacked for vmap
+            # (reference keeps a python dict of modules, model/planar.py:322-324).
+            keys = jax.random.split(k_mask, cfg.batch_size)
+            heads = [init_implicit_mask(k, dtype=dtype) for k in keys]
+            params["implicit_mask"] = jax.tree.map(lambda *xs: jnp.stack(xs), *heads)
+        else:
+            params["implicit_mask"] = init_implicit_mask(k_mask, dtype=dtype)
+        params["view_embedding"] = init_view_embedding(k_view, cfg.N_vocab, dtype=dtype)
+    return params
+
+
+def graph_forward(params: dict, data: dict, cfg: PlanarConfig, progress: jax.Array) -> dict:
+    """Forward pass (reference Graph.forward, model/planar.py:329-353).
+
+    Args:
+      params: trainable parameter pytree.
+      data: device-resident dataset dict (see marf_tpu.data.planar).
+      progress: traced scalar in [0, 1] driving the c2f schedule.
+
+    Returns:
+      dict with rgb_prediction [B,HW,3], rgb_prediction_map [B,3,h,w],
+      edge_prediction (if use_edges), mask_prediction(+_map) (if implicit).
+    """
+    h, w = cfg.map_hw
+    B = cfg.batch_size
+    xy_grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)  # [HW, 2]
+    xy_grid_warped = warp_grid(xy_grid, params["warp"])  # [B, HW, 2]
+    rgb = apply_neural_image(params["neural_image"], xy_grid_warped, cfg.arch, progress)  # [B, HW, 3]
+    rgb_map = rgb.reshape(B, h, w, 3).transpose(0, 3, 1, 2)  # [B, 3, h, w]
+    out = {"rgb_prediction": rgb, "rgb_prediction_map": rgb_map}
+    if cfg.use_edges:
+        # In-graph replacement for the reference's per-iteration host cv2
+        # round-trip (reference model/planar.py:336 -> inputs.py:50-69).
+        out["edge_prediction"] = compute_edges(rgb_map, differentiable=cfg.differentiable_edges)
+    if cfg.use_implicit_mask:
+        inputs = mask_head_inputs(
+            params["view_embedding"], data["rgb"], xy_grid, quantize_levels=cfg.mask_quantize_levels
+        )  # [B, HW, 426]
+        if cfg.build_single_masks:
+            mask_pred = jax.vmap(apply_implicit_mask)(params["implicit_mask"], inputs)
+        else:
+            mask_pred = jax.vmap(apply_implicit_mask, in_axes=(None, 0))(params["implicit_mask"], inputs)
+        out["mask_prediction"] = mask_pred  # [B, HW, 1]
+        out["mask_prediction_map"] = mask_pred.reshape(B, h, w, 1).transpose(0, 3, 1, 2)
+    return out
+
+
+def graph_loss(outputs: dict, data: dict, cfg: PlanarConfig, step: jax.Array) -> dict:
+    """Composite loss (reference Graph.compute_loss, model/planar.py:355-380).
+
+    `step` is the 0-based loss-evaluation counter (the reference's Graph.it),
+    driving the alpha schedule.
+    """
+    loss = {}
+    alpha = (
+        alpha_schedule(step, cfg.max_iter, cfg.alpha_initial, cfg.alpha_final)
+        if cfg.use_edges
+        else jnp.asarray(0.0, dtype=jnp.float32)
+    )
+    if cfg.w_render is not None:
+        rgb_masks = None
+        if cfg.use_implicit_mask:
+            rgb_masks = outputs["mask_prediction_map"]
+        elif cfg.use_masks:
+            rgb_masks = data["masks"]
+        rgb_loss = mse(outputs["rgb_prediction_map"], data["rgb"], rgb_masks)
+        if cfg.use_edges:
+            edge_masks = outputs["mask_prediction_map"] if cfg.use_implicit_mask else data.get("masks_eroded")
+            edge_loss = mse(outputs["edge_prediction"], data["edges"], edge_masks)
+        else:
+            edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        mask_loss = (
+            mask_counterweight(outputs["mask_prediction_map"])
+            if cfg.use_implicit_mask
+            else jnp.asarray(0.0, dtype=jnp.float32)
+        )
+        loss["render"] = render_loss(rgb_loss, edge_loss, mask_loss, alpha)
+        loss["rgb"] = rgb_loss
+        loss["mask"] = mask_loss
+        loss["edge"] = edge_loss
+    return loss

@@ -1,0 +1,94 @@
+"""sl(3) -> SL(3) tests: generator layout, expm correctness, grad, vmap, det."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from marf_tpu.ops.lie import sl3_generator, sl3_to_SL3
+
+
+def test_generator_layout():
+    # reference warp.py:101-104: A = [[h5,h3,h1],[h4,-h5-h6,h2],[h7,h8,h6]]
+    h = np.arange(1, 9, dtype=np.float32)  # h1..h8 = 1..8
+    A = np.asarray(sl3_generator(jnp.asarray(h)))
+    expected = np.array([[5, 3, 1], [4, -5 - 6, 2], [7, 8, 6]], dtype=np.float32)
+    np.testing.assert_array_equal(A, expected)
+
+
+def test_generator_traceless(rng):
+    h = jnp.asarray(rng.randn(10, 8).astype(np.float32))
+    A = sl3_generator(h)
+    np.testing.assert_allclose(np.trace(np.asarray(A), axis1=-2, axis2=-1), 0.0, atol=1e-6)
+
+
+def test_expm_matches_scipy(rng):
+    h = rng.randn(16, 8).astype(np.float32) * 0.3
+    H = np.asarray(sl3_to_SL3(jnp.asarray(h)))
+    for i in range(16):
+        expected = scipy.linalg.expm(np.asarray(sl3_generator(jnp.asarray(h[i]))))
+        np.testing.assert_allclose(H[i], expected, rtol=1e-5, atol=1e-6)
+
+
+def test_det_one(rng):
+    # det(expm(A)) = exp(tr(A)) = 1 for traceless A
+    h = rng.randn(8, 8).astype(np.float32) * 0.5
+    H = sl3_to_SL3(jnp.asarray(h))
+    np.testing.assert_allclose(np.linalg.det(np.asarray(H)), 1.0, rtol=1e-4)
+
+
+def test_zero_maps_to_identity():
+    H = sl3_to_SL3(jnp.zeros((3, 8)))
+    np.testing.assert_allclose(np.asarray(H), np.broadcast_to(np.eye(3), (3, 3, 3)), atol=1e-7)
+
+
+def test_grad_finite_and_nonzero(rng):
+    h = jnp.asarray(rng.randn(4, 8).astype(np.float32) * 0.2)
+
+    def f(h):
+        return jnp.sum(sl3_to_SL3(h) ** 2)
+
+    g = jax.grad(f)(h)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_grad_matches_finite_differences(rng):
+    jax.config.update("jax_enable_x64", True)
+    try:
+        h = rng.randn(8).astype(np.float64) * 0.1
+
+        def f(hv):
+            return float(jnp.sum(sl3_to_SL3(jnp.asarray(hv, dtype=jnp.float64)) * jnp.arange(9.0).reshape(3, 3)))
+
+        g = np.asarray(
+            jax.grad(lambda hv: jnp.sum(sl3_to_SL3(hv) * jnp.arange(9.0).reshape(3, 3)))(jnp.asarray(h))
+        )
+        eps = 1e-6
+        for i in range(8):
+            hp, hm = h.copy(), h.copy()
+            hp[i] += eps
+            hm[i] -= eps
+            fd = (f(hp) - f(hm)) / (2 * eps)
+            assert abs(fd - g[i]) < 1e-6, (i, fd, g[i])
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_jit_vmap_batch_shapes(rng):
+    h = jnp.asarray(rng.randn(2, 5, 8).astype(np.float32))
+    H = jax.jit(sl3_to_SL3)(h)
+    assert H.shape == (2, 5, 3, 3)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_float64_path(rng):
+    jax.config.update("jax_enable_x64", True)
+    try:
+        h = jnp.asarray(rng.randn(3, 8) * 0.3)
+        H = sl3_to_SL3(h)
+        expected = np.stack([scipy.linalg.expm(np.asarray(sl3_generator(jnp.asarray(hi)))) for hi in np.asarray(h)])
+        np.testing.assert_allclose(np.asarray(H), expected, rtol=1e-10, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)

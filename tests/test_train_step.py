@@ -1,0 +1,148 @@
+"""Train-step tests: optimizer grouping, fix_first, schedules, metrics, chunking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marf_tpu.engine.step import (
+    chunk_schedule,
+    init_train_state,
+    make_optimizer,
+    make_train_chunk,
+    make_train_step,
+)
+from marf_tpu.models.neural_image import NeuralImageConfig
+from marf_tpu.models.planar import PlanarConfig, init_graph_params
+from tests.test_models import fake_data, small_cfg
+
+
+def build(cfg, optim=None, rng=None, use_homographies=True):
+    rng = rng or np.random.RandomState(0)
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(optim or {"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": "Adam"}, cfg.max_iter)
+    state = init_train_state(params, tx)
+    data = fake_data(cfg, rng)
+    step_fn = make_train_step(cfg, tx, use_homographies=use_homographies)
+    return state, data, step_fn
+
+
+def test_single_step_updates_params(rng):
+    cfg = small_cfg()
+    state, data, step_fn = build(cfg, rng=rng)
+    new_state, metrics = jax.jit(step_fn)(state, data)
+    assert int(new_state.step) == 1
+    w_old = np.asarray(state.params["neural_image"]["mlp"][0]["w"])
+    w_new = np.asarray(new_state.params["neural_image"]["mlp"][0]["w"])
+    assert not np.allclose(w_old, w_new)
+    assert np.isfinite(float(metrics["all"]))
+    assert "PSNR" in metrics and "Homography_Error" in metrics
+
+
+def test_fix_first_zeroes_warp0(rng):
+    cfg = small_cfg(fix_first=True)
+    state, data, step_fn = build(cfg, rng=rng)
+    new_state, _ = jax.jit(step_fn)(state, data)
+    warp = np.asarray(new_state.params["warp"])
+    np.testing.assert_array_equal(warp[0], 0.0)
+    assert np.abs(warp[1:]).max() > 0  # others moved
+
+
+def test_no_fix_first(rng):
+    cfg = small_cfg(fix_first=False)
+    state, data, step_fn = build(cfg, rng=rng)
+    new_state, _ = jax.jit(step_fn)(state, data)
+    assert np.abs(np.asarray(new_state.params["warp"])[0]).max() > 0
+
+
+def test_loss_decreases_over_steps(rng):
+    cfg = small_cfg()
+    state, data, step_fn = build(cfg, optim={"lr": 5e-3, "lr_warp": 5e-3, "lr_mask": 5e-3, "algo": "Adam"}, rng=rng)
+    chunk = make_train_chunk(step_fn, 100, donate=False)
+    state2, metrics = chunk(state, data)
+    first, last = float(metrics["loss_rgb"][0]), float(metrics["loss_rgb"][-1])
+    # fake_data targets are random noise, so progress is bounded; the real
+    # convergence check is tests/test_train_integration.py on synthetic data
+    assert last < first * 0.97, (first, last)
+    assert int(state2.step) == 100
+
+
+def test_chunk_metrics_match_stepwise(rng):
+    """A scanned chunk must be bit-equivalent to calling the step n times."""
+    cfg = small_cfg()
+    state, data, step_fn = build(cfg, rng=rng)
+    chunk = make_train_chunk(step_fn, 4, donate=False)
+    s_chunk, m_chunk = chunk(state, data)
+    s_loop = state
+    step_jit = jax.jit(step_fn)
+    losses = []
+    for _ in range(4):
+        s_loop, m = step_jit(s_loop, data)
+        losses.append(float(m["all"]))
+    np.testing.assert_allclose(np.asarray(m_chunk["all"]), losses, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_chunk.params["warp"]), np.asarray(s_loop.params["warp"]), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_frozen_view_embedding(rng):
+    """The reference never adds embedding_view to the optimizer
+    (model/planar.py:89-96) — it must stay frozen."""
+    cfg = small_cfg(use_implicit_mask=True, N_vocab=16)
+    state, data, step_fn = build(cfg, rng=rng)
+    new_state, _ = jax.jit(step_fn)(state, data)
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["view_embedding"]), np.asarray(state.params["view_embedding"])
+    )
+    # but the mask head does train
+    m_old = np.asarray(state.params["implicit_mask"]["mlp"][0]["w"])
+    m_new = np.asarray(new_state.params["implicit_mask"]["mlp"][0]["w"])
+    assert not np.allclose(m_old, m_new)
+
+
+def test_per_group_learning_rates(rng):
+    """lr_warp=0 must freeze the warp while the MLP still moves."""
+    cfg = small_cfg()
+    state, data, step_fn = build(cfg, optim={"lr": 1e-3, "lr_warp": 0.0, "lr_mask": 1e-3, "algo": "Adam"}, rng=rng)
+    new_state, _ = jax.jit(step_fn)(state, data)
+    np.testing.assert_array_equal(np.asarray(new_state.params["warp"]), np.asarray(state.params["warp"]))
+    assert not np.allclose(
+        np.asarray(new_state.params["neural_image"]["mlp"][0]["w"]),
+        np.asarray(state.params["neural_image"]["mlp"][0]["w"]),
+    )
+
+
+def test_exponential_lr_schedule(rng):
+    cfg = small_cfg()
+    optim = {"lr": 1e-2, "lr_warp": 1e-2, "lr_mask": 1e-2, "algo": "Adam", "lr_end": 1e-4,
+             "sched": {"type": "ExponentialLR"}}
+    state, data, step_fn = build(cfg, optim=optim, rng=rng)
+    chunk = make_train_chunk(step_fn, 10, donate=False)
+    s, m = chunk(state, data)
+    assert np.isfinite(np.asarray(m["all"])).all()
+
+
+def test_mask_error_metric(rng):
+    cfg = small_cfg(use_implicit_mask=True, N_vocab=16)
+    state, data, step_fn = build(cfg, rng=rng)
+    _, metrics = jax.jit(step_fn)(state, data)
+    assert "Mask_Error" in metrics
+    assert float(metrics["Mask_Error"]) > 0
+
+
+def test_chunk_schedule():
+    assert chunk_schedule(3000, 20, 100) == 20
+    assert chunk_schedule(3000, 30, 100) == 10
+    assert chunk_schedule(5, 20, 100) == 5
+    assert chunk_schedule(3000, 7, 13) == 1
+
+
+def test_homography_error_decreases_with_gt_alignment(rng):
+    """Sanity: warp params equal to GT give (near) zero error when gt_hom is
+    the expm of those params."""
+    from marf_tpu.ops.lie import sl3_to_SL3
+    from marf_tpu.ops.losses import homography_error
+
+    w = jnp.asarray(rng.randn(3, 8).astype(np.float32) * 0.1)
+    H = sl3_to_SL3(w)
+    assert float(homography_error(H, H)) < 1e-10
+    assert float(homography_error(H, jnp.asarray(np.eye(3, dtype=np.float32))[None].repeat(3, 0))) > 0
