@@ -1,0 +1,105 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh: the sharded
+train step must be numerically equivalent to the single-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marf_tpu.engine.step import init_train_state, make_optimizer, make_train_chunk, make_train_step
+from marf_tpu.models.neural_image import NeuralImageConfig
+from marf_tpu.models.planar import PlanarConfig, init_graph_params
+from marf_tpu.parallel.mesh import choose_pixel_axis, make_mesh, shard_planar_data
+from marf_tpu.parallel.sharded import make_sharded_train_setup
+from tests.test_models import fake_data
+
+OPTIM = {"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": "Adam"}
+
+
+def mesh_cfg(**kw):
+    # patch_H=24 -> h % 8 == 0: shard the height axis on an 8-device mesh
+    defaults = dict(
+        H=48, W=64, patch_H=24, patch_W=32, batch_size=3, max_iter=100,
+        arch=NeuralImageConfig(layers=(None, 32, 32, 3), barf_c2f=(0, 0.4)),
+    )
+    defaults.update(kw)
+    return PlanarConfig(**defaults)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_choose_pixel_axis():
+    assert choose_pixel_axis(24, 32, 8) == 2
+    assert choose_pixel_axis(30, 32, 8) == 3
+    assert choose_pixel_axis(30, 31, 8) is None
+    assert choose_pixel_axis(24, 32, 1) is None
+
+
+def test_sharded_data_placement(rng):
+    cfg = mesh_cfg()
+    mesh = make_mesh(8)
+    data = shard_planar_data(fake_data(cfg, rng), mesh, axis=2)
+    rgb_sharding = data["rgb"].sharding
+    assert not rgb_sharding.is_fully_replicated
+    assert data["gt_hom"].sharding.is_fully_replicated
+
+
+@pytest.mark.parametrize("use_implicit_mask", [False, True])
+def test_sharded_step_matches_single_device(rng, use_implicit_mask):
+    cfg = mesh_cfg(use_implicit_mask=use_implicit_mask, N_vocab=16)
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    raw = fake_data(cfg, rng)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+
+    # single device
+    state1 = init_train_state(params, tx)
+    step_fn = make_train_step(cfg, tx)
+    chunk1 = make_train_chunk(step_fn, 3, donate=False)
+    s1, m1 = chunk1(state1, raw)
+
+    # 8-device mesh, pixel-sharded
+    mesh = make_mesh(8)
+    state8, data8, chunk8 = make_sharded_train_setup(
+        cfg, tx, mesh, raw, params, n_steps=3, donate=False
+    )
+    s8, m8 = chunk8(state8, data8)
+
+    np.testing.assert_allclose(np.asarray(m8["all"]), np.asarray(m1["all"]), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s8.params["warp"]), np.asarray(s1.params["warp"]), rtol=2e-4, atol=2e-6
+    )
+    w1 = np.asarray(s1.params["neural_image"]["mlp"][0]["w"])
+    w8 = np.asarray(s8.params["neural_image"]["mlp"][0]["w"])
+    np.testing.assert_allclose(w8, w1, rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_width_axis(rng):
+    """h not divisible by 8 -> width sharding path."""
+    cfg = mesh_cfg(H=60, W=64, patch_H=30, patch_W=32)
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    raw = fake_data(cfg, rng)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+    mesh = make_mesh(8)
+    state8, data8, chunk8 = make_sharded_train_setup(cfg, tx, mesh, raw, params, n_steps=2, donate=False)
+    s8, m8 = chunk8(state8, data8)
+    assert np.isfinite(np.asarray(m8["all"])).all()
+
+    state1 = init_train_state(params, tx)
+    chunk1 = make_train_chunk(make_train_step(cfg, tx), 2, donate=False)
+    s1, m1 = chunk1(state1, raw)
+    np.testing.assert_allclose(np.asarray(m8["all"]), np.asarray(m1["all"]), rtol=2e-5, atol=1e-7)
+
+
+def test_sharded_full_training_progress(rng):
+    cfg = mesh_cfg()
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    raw = fake_data(cfg, rng)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+    mesh = make_mesh(8)
+    state, data, chunk = make_sharded_train_setup(cfg, tx, mesh, raw, params, n_steps=30, donate=False)
+    s, m = chunk(state, data)
+    losses = np.asarray(m["loss_rgb"])
+    assert losses[-1] < losses[0]
+    assert int(s.step) == 30
