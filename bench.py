@@ -14,6 +14,7 @@ PSNR / homography error) so perf is never reported off a diverging config.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,9 +23,12 @@ import numpy as np
 import jax
 
 REF_STEPS_PER_SEC = 30.0  # BASELINE_MEASURED.md
-MAX_ITER = 3000
+MAX_ITER = int(os.environ.get("MARF_BENCH_ITERS", 3000))
 CHUNK = 100
 WARMUP_CHUNKS = 1
+# experiment knobs (bench defaults stay the faithful config)
+DTYPE = os.environ.get("MARF_BENCH_DTYPE", "float32")
+FUSED = os.environ.get("MARF_BENCH_FUSED", "off")
 
 
 def log(msg):
@@ -39,7 +43,10 @@ def main():
 
     cfg = PlanarConfig(
         max_iter=MAX_ITER,
-        arch=NeuralImageConfig(layers=(None, 256, 256, 256, 256, 3), posenc_L=8, barf_c2f=(0, 0.4)),
+        arch=NeuralImageConfig(
+            layers=(None, 256, 256, 256, 256, 3), posenc_L=8, barf_c2f=(0, 0.4),
+            compute_dtype=DTYPE, fused=FUSED,
+        ),
     )
     try:
         raw = load_planar_dataset(cfg, "cat_batch3")

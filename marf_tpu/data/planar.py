@@ -101,6 +101,21 @@ def load_single_image(fp: str, mode: str = "RGB") -> np.ndarray:
     return _to_tensor(Image.open(fp).convert(mode))
 
 
+def save_images(images, suffix: str, out_dir: str = ".") -> list[str]:
+    """Debug helper: dump a [B, C, H, W] stack as `<i>-<suffix>.png`
+    (reference inputs.py:35-41)."""
+    paths = []
+    for i, im in enumerate(np.asarray(images)):
+        arr = np.clip(np.asarray(im), 0.0, 1.0)
+        hwc = (arr.transpose(1, 2, 0) * 255).astype(np.uint8)
+        if hwc.shape[-1] == 1:
+            hwc = hwc[..., 0]
+        path = os.path.join(out_dir, f"{i}-{suffix}.png")
+        Image.fromarray(hwc).save(path)
+        paths.append(path)
+    return paths
+
+
 def compute_edges_host(images: np.ndarray) -> np.ndarray:
     """Target edge maps with cv2, bit-identical to the reference
     (inputs.py:50-69): Sobel ksize=3 x/y in float64, magnitude, 5x5 Gaussian.

@@ -36,7 +36,7 @@ from marf_tpu.engine.step import (
     make_train_chunk,
     make_train_step,
 )
-from marf_tpu.models.neural_image import apply_neural_image
+from marf_tpu.models.neural_image import apply_neural_image_cf
 from marf_tpu.models.planar import PlanarConfig, graph_forward, init_graph_params
 from marf_tpu.ops.grid import normalized_pixel_grid
 from marf_tpu.utils import vis as vis_lib
@@ -126,8 +126,22 @@ class Model:
     # ------------------------------------------------------------- compiled fns
 
     def _build_compiled(self):
-        self._step_fn = make_train_step(self.cfg, self.tx, use_homographies=self.use_homographies)
         cfg = self.cfg
+        if (
+            cfg.use_implicit_mask
+            and not bool(self.opt.optim.get("train_view_embedding", False))
+            and "mask_head_inputs_cf" not in self.data
+        ):
+            # frozen view embedding -> the mask-head inputs are constants:
+            # compute once instead of re-gathering/embedding every step
+            from marf_tpu.models.implicit_mask import mask_head_inputs_cf
+
+            grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+            self.data["mask_head_inputs_cf"] = jax.jit(mask_head_inputs_cf, static_argnames="quantize_levels")(
+                self.state.params["view_embedding"], self.data["rgb"], grid,
+                quantize_levels=cfg.mask_quantize_levels,
+            )
+        self._step_fn = make_train_step(cfg, self.tx, use_homographies=self.use_homographies)
 
         def forward(params, data, progress):
             return graph_forward(params, data, cfg, progress)
@@ -137,8 +151,10 @@ class Model:
         full_grid = normalized_pixel_grid(cfg.grid_spec, crop=False)
 
         def render(params, progress):
-            rgb = apply_neural_image(params["neural_image"], full_grid, cfg.arch, progress)
-            return rgb.reshape(cfg.H, cfg.W, 3).transpose(2, 0, 1)  # [3, H, W]
+            rgb_cf = apply_neural_image_cf(
+                params["neural_image"], full_grid.T, cfg.arch, progress
+            )  # [3, HW]
+            return rgb_cf.reshape(3, cfg.H, cfg.W)
 
         self._render_jit = jax.jit(render)
 

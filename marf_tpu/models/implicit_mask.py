@@ -72,6 +72,19 @@ def embed_image(view_embedding: jax.Array, image: jax.Array, quantize_levels: in
     return embedded.reshape(flat.shape[0], -1)  # [HW, 384]
 
 
+def apply_implicit_mask_cf(params: dict, x_cf: jax.Array) -> jax.Array:
+    """Channels-first mask head: [..., 426, P] -> [..., 1, P]. Same math as
+    `apply_implicit_mask` with the pixel axis kept in lanes (TPU-fast)."""
+    feat = x_cf
+    n = len(params["mlp"])
+    for li, layer in enumerate(params["mlp"]):
+        feat = jnp.einsum(
+            "ko,...kn->...on", layer["w"], feat, preferred_element_type=jnp.float32
+        ) + layer["b"][:, None]
+        feat = jax.nn.relu(feat) if li != n - 1 else jax.nn.sigmoid(feat)
+    return feat
+
+
 def mask_head_inputs(view_embedding: jax.Array, images: jax.Array, xy_grid: jax.Array, quantize_levels: int = 1) -> jax.Array:
     """Build the batched mask-head input: concat(embedded RGB, embedded
     *unwarped* uv grid) per image (reference model/planar.py:340-349; the uv
@@ -89,3 +102,14 @@ def mask_head_inputs(view_embedding: jax.Array, images: jax.Array, xy_grid: jax.
     img_embedded = jax.vmap(lambda im: embed_image(view_embedding, im, quantize_levels))(images)  # [B, HW, 384]
     uv = jnp.broadcast_to(uv_embedded[None], (images.shape[0],) + uv_embedded.shape)
     return jnp.concatenate([img_embedded, uv], axis=-1)
+
+
+def mask_head_inputs_cf(view_embedding: jax.Array, images: jax.Array, xy_grid: jax.Array, quantize_levels: int = 1) -> jax.Array:
+    """Channels-first mask-head inputs: [B, 426, HW].
+
+    When the view embedding is frozen (the reference never optimizes it,
+    model/planar.py:89-96), this whole tensor is constant across training —
+    the engine precomputes it once at setup and the per-step cost of the
+    implicit-mask path collapses to the head MLP itself.
+    """
+    return mask_head_inputs(view_embedding, images, xy_grid, quantize_levels).transpose(0, 2, 1)

@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from marf_tpu.models.linear import init_linear, apply_linear
-from marf_tpu.ops.posenc import barf_posenc, barf_c2f_weights, apply_c2f
+from marf_tpu.ops.posenc import (
+    apply_c2f,
+    apply_c2f_cf,
+    barf_c2f_weights,
+    barf_posenc,
+    barf_posenc_cf,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +40,14 @@ class NeuralImageConfig:
     skip: tuple = ()
     posenc_L: int | None = 8  # None -> raw-coordinate MLP (--arch.posenc!)
     barf_c2f: tuple | None = None  # (start, end) or None
+    # MXU input dtype for the dense layers ('float32' | 'bfloat16').
+    # Accumulation is always f32 (preferred_element_type); posenc, c2f
+    # weights, sigmoid output and the master params stay f32. bfloat16 halves
+    # the HBM activation traffic that bounds the backward pass.
+    compute_dtype: str = "float32"
+    # Pallas fused posenc+MLP kernel: 'auto' (on TPU, when supported),
+    # 'on' (always; interpreter off-TPU), 'off' (plain XLA path).
+    fused: str = "auto"
 
     @property
     def input_dim(self) -> int:
@@ -82,6 +96,62 @@ def encode_coords(coord: jax.Array, cfg: NeuralImageConfig, progress: jax.Array 
     return jnp.concatenate([coord, enc], axis=-1)
 
 
+def encode_coords_cf(coord_cf: jax.Array, cfg: NeuralImageConfig, progress: jax.Array | None) -> jax.Array:
+    """Channels-first posenc + c2f + concat: [..., 2, P] -> [..., input_dim, P]."""
+    if not cfg.posenc_L:
+        return coord_cf
+    enc = barf_posenc_cf(coord_cf, cfg.posenc_L)
+    if cfg.barf_c2f is not None:
+        assert progress is not None
+        weights = barf_c2f_weights(progress, tuple(cfg.barf_c2f), cfg.posenc_L, dtype=coord_cf.dtype)
+        enc = apply_c2f_cf(enc, weights)
+    return jnp.concatenate([coord_cf, enc], axis=-2)
+
+
+def apply_neural_image_cf(
+    params: dict,
+    coord_cf: jax.Array,
+    cfg: NeuralImageConfig,
+    progress: jax.Array | None = None,
+) -> jax.Array:
+    """Channels-first forward: [..., 2, P] coords -> [..., 3, P] rgb.
+
+    Numerically identical to `apply_neural_image` but with the pixel axis in
+    lanes throughout — no small-lane tensors, no output transpose (the
+    [B, 3, HW] result reshapes directly to the [B, 3, h, w] map the losses
+    consume). This is the default single-chip hot path.
+    """
+    points_enc = encode_coords_cf(coord_cf, cfg, progress)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    points_enc = points_enc.astype(dtype)
+    feat = points_enc
+    n_layers = len(params["mlp"])
+    for li, layer in enumerate(params["mlp"]):
+        if li in cfg.skip:
+            feat = jnp.concatenate([feat, points_enc], axis=-2)
+        w = layer["w"].astype(dtype)  # [k_in, k_out]
+        b = layer["b"][:, None]  # [k_out, 1]
+        feat = (
+            jnp.einsum("ko,...kn->...on", w, feat, preferred_element_type=jnp.float32) + b
+        )
+        if li != n_layers - 1:
+            feat = jax.nn.relu(feat).astype(dtype)
+    return jax.nn.sigmoid(feat.astype(jnp.float32))
+
+
+def _use_fused(cfg: NeuralImageConfig) -> bool:
+    from marf_tpu.ops.pallas.fused_mlp import fused_mlp_supported
+
+    if cfg.fused == "off" or not fused_mlp_supported(cfg):
+        return False
+    if cfg.fused == "on":
+        return True
+    # 'auto': the channels-first XLA path currently beats the fused kernel on
+    # this workload (the kernel matches baseline; see bench history) — prefer
+    # XLA-cf until the kernel wins.
+    return False
+
+
 def apply_neural_image(
     params: dict,
     coord: jax.Array,
@@ -89,14 +159,31 @@ def apply_neural_image(
     progress: jax.Array | None = None,
 ) -> jax.Array:
     """Forward: [..., 2] coords -> [..., 3] rgb in (0, 1)
-    (reference model/planar.py:429-449)."""
+    (reference model/planar.py:429-449). Dispatches to the Pallas fused
+    kernel (ops/pallas/fused_mlp.py) when enabled/supported."""
+    if _use_fused(cfg):
+        from marf_tpu.ops.pallas.fused_mlp import fused_neural_image
+
+        L = cfg.posenc_L or 0
+        if L and cfg.barf_c2f is not None:
+            assert progress is not None
+            cw = barf_c2f_weights(progress, tuple(cfg.barf_c2f), L)
+        else:
+            cw = jnp.ones((max(L, 1),), dtype=jnp.float32)
+        lead = coord.shape[:-1]
+        flat = coord.reshape(-1, coord.shape[-1])
+        out = fused_neural_image(params, flat, cw, cfg)
+        return out.reshape(lead + (out.shape[-1],))
     points_enc = encode_coords(coord, cfg, progress)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    points_enc = points_enc.astype(dtype)
     feat = points_enc
     n_layers = len(params["mlp"])
     for li, layer in enumerate(params["mlp"]):
         if li in cfg.skip:
             feat = jnp.concatenate([feat, points_enc], axis=-1)
+        layer = jax.tree.map(lambda x: x.astype(dtype), layer)
         feat = apply_linear(layer, feat)
         if li != n_layers - 1:
-            feat = jax.nn.relu(feat)
-    return jax.nn.sigmoid(feat)
+            feat = jax.nn.relu(feat).astype(dtype)
+    return jax.nn.sigmoid(feat.astype(jnp.float32))

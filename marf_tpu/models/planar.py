@@ -19,16 +19,22 @@ import jax
 import jax.numpy as jnp
 
 from marf_tpu.models.implicit_mask import (
+    apply_implicit_mask_cf,
     init_implicit_mask,
-    apply_implicit_mask,
     init_view_embedding,
-    mask_head_inputs,
+    mask_head_inputs_cf,
 )
-from marf_tpu.models.neural_image import NeuralImageConfig, init_neural_image, apply_neural_image
+from marf_tpu.models.neural_image import (
+    NeuralImageConfig,
+    _use_fused,
+    apply_neural_image,
+    apply_neural_image_cf,
+    init_neural_image,
+)
 from marf_tpu.ops.filters import compute_edges
 from marf_tpu.ops.grid import GridSpec, normalized_pixel_grid
 from marf_tpu.ops.losses import alpha_schedule, mask_counterweight, mse, render_loss
-from marf_tpu.ops.warp import warp_grid
+from marf_tpu.ops.warp import warp_grid, warp_grid_cf
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,14 +97,16 @@ class PlanarConfig:
     @classmethod
     def from_options(cls, opt) -> "PlanarConfig":
         """Build from a parsed options AttrDict (reference yaml key layout)."""
+        lw = opt.get("loss_weight", {})
+        tpu_opts = opt.get("tpu", {})
         arch = NeuralImageConfig(
             layers=tuple(opt.arch.layers),
             skip=tuple(opt.arch.get("skip", []) or []),
             posenc_L=(opt.arch.posenc.L_2D if opt.arch.get("posenc") else None),
             barf_c2f=(tuple(opt.barf_c2f) if opt.get("barf_c2f") else None),
+            compute_dtype=str(tpu_opts.get("compute_dtype", "float32")),
+            fused=str(tpu_opts.get("fused_mlp", "auto")),
         )
-        lw = opt.get("loss_weight", {})
-        tpu_opts = opt.get("tpu", {})
         return cls(
             H=opt.H,
             W=opt.W,
@@ -165,24 +173,38 @@ def graph_forward(params: dict, data: dict, cfg: PlanarConfig, progress: jax.Arr
     h, w = cfg.map_hw
     B = cfg.batch_size
     xy_grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)  # [HW, 2]
-    xy_grid_warped = warp_grid(xy_grid, params["warp"])  # [B, HW, 2]
-    rgb = apply_neural_image(params["neural_image"], xy_grid_warped, cfg.arch, progress)  # [B, HW, 3]
-    rgb_map = rgb.reshape(B, h, w, 3).transpose(0, 3, 1, 2)  # [B, 3, h, w]
+    if _use_fused(cfg.arch):
+        # Pallas fused kernel path (row-major [N, 2] points)
+        xy_grid_warped = warp_grid(xy_grid, params["warp"])  # [B, HW, 2]
+        rgb = apply_neural_image(params["neural_image"], xy_grid_warped, cfg.arch, progress)
+        rgb_map = rgb.reshape(B, h, w, 3).transpose(0, 3, 1, 2)  # [B, 3, h, w]
+    else:
+        # channels-first XLA path: pixel axis stays in lanes end to end and
+        # the [B, 3, HW] result reshapes straight to the NCHW map
+        warped_cf = warp_grid_cf(xy_grid, params["warp"])  # [B, 2, HW]
+        rgb_cf = apply_neural_image_cf(params["neural_image"], warped_cf, cfg.arch, progress)
+        rgb_map = rgb_cf.reshape(B, 3, h, w)
+        rgb = rgb_cf.transpose(0, 2, 1)  # [B, HW, 3] (API parity; cheap)
     out = {"rgb_prediction": rgb, "rgb_prediction_map": rgb_map}
     if cfg.use_edges:
         # In-graph replacement for the reference's per-iteration host cv2
         # round-trip (reference model/planar.py:336 -> inputs.py:50-69).
         out["edge_prediction"] = compute_edges(rgb_map, differentiable=cfg.differentiable_edges)
     if cfg.use_implicit_mask:
-        inputs = mask_head_inputs(
-            params["view_embedding"], data["rgb"], xy_grid, quantize_levels=cfg.mask_quantize_levels
-        )  # [B, HW, 426]
+        # channels-first head; inputs are precomputed by the engine when the
+        # view embedding is frozen (the faithful default — the reference
+        # never optimizes embedding_view, model/planar.py:89-96)
+        inputs_cf = data.get("mask_head_inputs_cf")
+        if inputs_cf is None:
+            inputs_cf = mask_head_inputs_cf(
+                params["view_embedding"], data["rgb"], xy_grid, quantize_levels=cfg.mask_quantize_levels
+            )  # [B, 426, HW]
         if cfg.build_single_masks:
-            mask_pred = jax.vmap(apply_implicit_mask)(params["implicit_mask"], inputs)
+            mask_cf = jax.vmap(apply_implicit_mask_cf)(params["implicit_mask"], inputs_cf)
         else:
-            mask_pred = jax.vmap(apply_implicit_mask, in_axes=(None, 0))(params["implicit_mask"], inputs)
-        out["mask_prediction"] = mask_pred  # [B, HW, 1]
-        out["mask_prediction_map"] = mask_pred.reshape(B, h, w, 1).transpose(0, 3, 1, 2)
+            mask_cf = apply_implicit_mask_cf(params["implicit_mask"], inputs_cf)  # [B, 1, HW]
+        out["mask_prediction"] = mask_cf.transpose(0, 2, 1)  # [B, HW, 1]
+        out["mask_prediction_map"] = mask_cf.reshape(B, 1, h, w)
     return out
 
 

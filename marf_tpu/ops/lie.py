@@ -15,6 +15,8 @@ no host round-trip, no custom CUDA op.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import expm as _expm
@@ -36,16 +38,55 @@ def sl3_generator(h: jax.Array) -> jax.Array:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def sl3_to_SL3(h: jax.Array) -> jax.Array:
+_TAYLOR_ORDER = 10
+_SQUARINGS = 4
+# 1/k! for k = _TAYLOR_ORDER..1 (Horner order)
+_INV_FACT = [1.0 / math.factorial(k) for k in range(_TAYLOR_ORDER, 0, -1)]
+
+
+def expm3x3(A: jax.Array) -> jax.Array:
+    """Batched 3x3 matrix exponential: fixed-unroll scaling-and-squaring
+    Taylor (order 10, 4 squarings).
+
+    TPU-native replacement for the Pade/LU expm: no data-dependent control
+    flow, no triangular solves — just ~14 batched 3x3 matmuls that XLA fuses
+    into the step, and a trivially differentiable graph. For the warp
+    magnitudes of this workload (||A|| < 4 after the 2^-4 scaling brings it
+    under 0.25) the truncation error is ~1e-14, below f32 resolution;
+    verified against scipy in tests/test_lie.py.
+
+    Args:
+      A: [..., 3, 3].
+
+    Returns:
+      [..., 3, 3] expm(A).
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    As = A * (2.0**-_SQUARINGS)
+    # Horner: M = I + As(c1·I + As(c2·I + ...)) with ck = 1/k!
+    M = eye * _INV_FACT[0]
+    for coeff in _INV_FACT[1:]:
+        M = eye * coeff + As @ M
+    M = eye + As @ M
+    for _ in range(_SQUARINGS):
+        M = M @ M
+    return M
+
+
+def sl3_to_SL3(h: jax.Array, method: str = "taylor") -> jax.Array:
     """Map sl(3) coordinates to an SL(3) homography via expm.
 
     Args:
       h: [..., 8] Lie-algebra coordinates.
+      method: 'taylor' (default hot path, see `expm3x3`) or 'pade'
+        (jax.scipy.linalg.expm, kept as the reference implementation).
 
     Returns:
       [..., 3, 3] homography with det = 1 (reference warp.py:98-106).
     """
     A = sl3_generator(h)
+    if method == "taylor":
+        return expm3x3(A)
     batch_shape = A.shape[:-2]
     if batch_shape:
         flat = A.reshape((-1, 3, 3))

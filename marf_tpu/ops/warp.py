@@ -42,6 +42,28 @@ def warp_grid(xy_grid: jax.Array, warp: jax.Array, eps: float = 1e-8) -> jax.Arr
     return warped_hom[..., :2] / (warped_hom[..., 2:] + eps)
 
 
+def warp_grid_cf(xy_grid: jax.Array, warp: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Channels-first warp: the TPU-fast layout of `warp_grid`.
+
+    Keeping the huge pixel axis last (lanes) avoids the 2-lane [HW, 2]
+    tensors that force vector-register relayouts; the output [B, 2, N]
+    feeds the channels-first MLP and reshapes straight to NCHW maps.
+
+    Args:
+      xy_grid: [HW, 2] normalized coordinates (row-major, as produced by
+        `normalized_pixel_grid` — transposed once here at trace time since
+        the grid is a constant).
+      warp: [B, 8] sl(3) coordinates.
+
+    Returns:
+      [B, 2, HW] warped coordinates, channels-first.
+    """
+    grid_hom_T = to_hom(xy_grid).T  # [3, HW] — constant, folded by XLA
+    H = sl3_to_SL3(warp)  # [B, 3, 3]
+    warped_hom = jnp.einsum("bjk,kn->bjn", H, grid_hom_T)  # [B, 3, HW]
+    return warped_hom[:, :2, :] / (warped_hom[:, 2:3, :] + eps)
+
+
 def warp_corners(corners: jax.Array, warp: jax.Array) -> jax.Array:
     """Warp patch-corner points for homography visualization
     (reference warp.py:83-93).

@@ -159,11 +159,14 @@ def process_options(opt: AttrDict) -> None:
         opt.name = f"{opt.name}_{randkey}"
     opt.output_path = f"{opt.output_root}/{opt.group}/{opt.name}"
     os.makedirs(opt.output_path, exist_ok=True)
+    import jax  # local import: keep config importable without initializing backends
+
     if opt.get("cpu"):
+        # actually force the CPU backend (the runtime image pre-imports jax
+        # with a TPU plugin, so the env var is too late — see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
         opt.device = "cpu"
     else:
-        import jax  # local import: keep config importable without initializing backends
-
         opt.device = jax.devices()[0].platform
 
 

@@ -6,7 +6,26 @@ import numpy as np
 import pytest
 import scipy.linalg
 
-from marf_tpu.ops.lie import sl3_generator, sl3_to_SL3
+from marf_tpu.ops.lie import expm3x3, sl3_generator, sl3_to_SL3
+
+
+def test_taylor_matches_pade_and_scipy(rng):
+    """The fixed-unroll Taylor expm must agree with scipy across the warp
+    magnitudes this workload produces (and beyond)."""
+    for scale in (0.01, 0.3, 1.0, 2.0):
+        h = rng.randn(8, 8).astype(np.float32) * scale
+        A = np.asarray(sl3_generator(jnp.asarray(h)))
+        ours = np.asarray(expm3x3(jnp.asarray(A)))
+        for i in range(8):
+            expected = scipy.linalg.expm(A[i].astype(np.float64))
+            np.testing.assert_allclose(ours[i], expected, rtol=5e-5, atol=1e-5)
+
+
+def test_taylor_is_default_method(rng):
+    h = jnp.asarray(rng.randn(4, 8).astype(np.float32) * 0.5)
+    np.testing.assert_allclose(
+        np.asarray(sl3_to_SL3(h)), np.asarray(sl3_to_SL3(h, method="pade")), rtol=2e-5, atol=2e-6
+    )
 
 
 def test_generator_layout():
