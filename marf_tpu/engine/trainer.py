@@ -137,10 +137,14 @@ class Model:
             from marf_tpu.models.implicit_mask import mask_head_inputs_cf
 
             grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
-            self.data["mask_head_inputs_cf"] = jax.jit(mask_head_inputs_cf, static_argnames="quantize_levels")(
+            inputs_cf = jax.jit(mask_head_inputs_cf, static_argnames="quantize_levels")(
                 self.state.params["view_embedding"], self.data["rgb"], grid,
                 quantize_levels=cfg.mask_quantize_levels,
-            )
+            )  # [B, 426, HW]
+            if not cfg.build_single_masks:
+                # shared head consumes the flat [426, B*HW] layout
+                inputs_cf = inputs_cf.transpose(1, 0, 2).reshape(inputs_cf.shape[1], -1)
+            self.data["mask_head_inputs_cf"] = jax.device_put(inputs_cf)
         self._step_fn = make_train_step(cfg, self.tx, use_homographies=self.use_homographies)
 
         def forward(params, data, progress):

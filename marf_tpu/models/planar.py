@@ -34,7 +34,7 @@ from marf_tpu.models.neural_image import (
 from marf_tpu.ops.filters import compute_edges
 from marf_tpu.ops.grid import GridSpec, normalized_pixel_grid
 from marf_tpu.ops.losses import alpha_schedule, mask_counterweight, mse, render_loss
-from marf_tpu.ops.warp import warp_grid, warp_grid_cf
+from marf_tpu.ops.warp import warp_grid, warp_grid_cf_flat
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,12 +179,13 @@ def graph_forward(params: dict, data: dict, cfg: PlanarConfig, progress: jax.Arr
         rgb = apply_neural_image(params["neural_image"], xy_grid_warped, cfg.arch, progress)
         rgb_map = rgb.reshape(B, h, w, 3).transpose(0, 3, 1, 2)  # [B, 3, h, w]
     else:
-        # channels-first XLA path: pixel axis stays in lanes end to end and
-        # the [B, 3, HW] result reshapes straight to the NCHW map
-        warped_cf = warp_grid_cf(xy_grid, params["warp"])  # [B, 2, HW]
-        rgb_cf = apply_neural_image_cf(params["neural_image"], warped_cf, cfg.arch, progress)
-        rgb_map = rgb_cf.reshape(B, 3, h, w)
-        rgb = rgb_cf.transpose(0, 2, 1)  # [B, HW, 3] (API parity; cheap)
+        # flat channels-first XLA path: [C, B*HW] — pixel axis in lanes end
+        # to end, batch folded into pixels so the backward's dW contractions
+        # are transpose-free; only the tiny 3-channel outputs get transposed
+        warped_flat = warp_grid_cf_flat(xy_grid, params["warp"])  # [2, B*HW]
+        rgb_flat = apply_neural_image_cf(params["neural_image"], warped_flat, cfg.arch, progress)
+        rgb_map = rgb_flat.reshape(3, B, h, w).transpose(1, 0, 2, 3)  # [B, 3, h, w]
+        rgb = rgb_flat.reshape(3, B, h * w).transpose(1, 2, 0)  # [B, HW, 3]
     out = {"rgb_prediction": rgb, "rgb_prediction_map": rgb_map}
     if cfg.use_edges:
         # In-graph replacement for the reference's per-iteration host cv2
@@ -200,11 +201,19 @@ def graph_forward(params: dict, data: dict, cfg: PlanarConfig, progress: jax.Arr
                 params["view_embedding"], data["rgb"], xy_grid, quantize_levels=cfg.mask_quantize_levels
             )  # [B, 426, HW]
         if cfg.build_single_masks:
-            mask_cf = jax.vmap(apply_implicit_mask_cf)(params["implicit_mask"], inputs_cf)
+            # per-image heads: vmap over the stacked parameter pytree
+            mask_cf = jax.vmap(apply_implicit_mask_cf)(params["implicit_mask"], inputs_cf)  # [B, 1, HW]
+            out["mask_prediction"] = mask_cf.transpose(0, 2, 1)  # [B, HW, 1]
+            out["mask_prediction_map"] = mask_cf.reshape(B, 1, h, w)
         else:
-            mask_cf = apply_implicit_mask_cf(params["implicit_mask"], inputs_cf)  # [B, 1, HW]
-        out["mask_prediction"] = mask_cf.transpose(0, 2, 1)  # [B, HW, 1]
-        out["mask_prediction_map"] = mask_cf.reshape(B, 1, h, w)
+            # shared head: fold batch into the pixel axis (transpose-free dW)
+            if inputs_cf.ndim == 3:
+                inputs_flat = inputs_cf.transpose(1, 0, 2).reshape(inputs_cf.shape[1], -1)
+            else:
+                inputs_flat = inputs_cf  # already [426, B*HW] (engine precompute)
+            mask_flat = apply_implicit_mask_cf(params["implicit_mask"], inputs_flat)  # [1, B*HW]
+            out["mask_prediction"] = mask_flat.reshape(1, B, h * w).transpose(1, 2, 0)  # [B, HW, 1]
+            out["mask_prediction_map"] = mask_flat.reshape(1, B, h, w).transpose(1, 0, 2, 3)
     return out
 
 

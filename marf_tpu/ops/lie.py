@@ -73,13 +73,16 @@ def expm3x3(A: jax.Array) -> jax.Array:
     return M
 
 
-def sl3_to_SL3(h: jax.Array, method: str = "taylor") -> jax.Array:
+def sl3_to_SL3(h: jax.Array, method: str = "pade") -> jax.Array:
     """Map sl(3) coordinates to an SL(3) homography via expm.
 
     Args:
       h: [..., 8] Lie-algebra coordinates.
-      method: 'taylor' (default hot path, see `expm3x3`) or 'pade'
-        (jax.scipy.linalg.expm, kept as the reference implementation).
+      method: 'pade' (default: jax.scipy.linalg.expm — empirically ~3 dB
+        better final PSNR than the Taylor kernel at f32; the joint
+        optimization is sensitive to the expm's f32 rounding profile) or
+        'taylor' (see `expm3x3` — control-flow-free, use when expm cost
+        matters more than the last dB).
 
     Returns:
       [..., 3, 3] homography with det = 1 (reference warp.py:98-106).

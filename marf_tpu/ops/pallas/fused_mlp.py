@@ -125,8 +125,12 @@ def _bwd_kernel(L, n_layers, cdtype, cw_ref, cwf_ref, coords_ref, g_ref, *refs):
     w_refs = refs[:n_layers]
     b_refs = refs[n_layers : 2 * n_layers]
     dcoords_ref = refs[2 * n_layers]
-    dw_refs = refs[2 * n_layers + 1 : 3 * n_layers + 1]
-    db_refs = refs[3 * n_layers + 1 : 4 * n_layers + 1]
+    out_dw_refs = refs[2 * n_layers + 1 : 3 * n_layers + 1]
+    out_db_refs = refs[3 * n_layers + 1 : 4 * n_layers + 1]
+    # VMEM scratch accumulators: persist across the sequential grid without
+    # round-tripping the [256,256] blocks through the output pipeline each step
+    dw_refs = refs[4 * n_layers + 1 : 5 * n_layers + 1]
+    db_refs = refs[5 * n_layers + 1 : 6 * n_layers + 1]
 
     step = pl.program_id(0)
 
@@ -175,6 +179,12 @@ def _bwd_kernel(L, n_layers, cdtype, cw_ref, cwf_ref, coords_ref, g_ref, *refs):
             )
             dcoords_ref[:] = _posenc_tile_bwd(coords, cwf_ref[:], L, denc)
 
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _writeout():
+        for li in range(n_layers):
+            out_dw_refs[li][:] = dw_refs[li][:]
+            out_db_refs[li][:] = db_refs[li][:]
+
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
@@ -221,7 +231,9 @@ def _fwd_impl(params, coords, cw, cfg):
     coords_p = _pad_rows(coords, n_padded)
     grid = n_padded // TILE
 
-    weights = [params["mlp"][i]["w"] for i in range(n_layers)]
+    # pre-cast weights ONCE per step (casting inside the kernel re-converts on
+    # every grid step); biases stay f32 (added to the f32 accumulator)
+    weights = [params["mlp"][i]["w"].astype(cdtype) for i in range(n_layers)]
     biases = [params["mlp"][i]["b"].reshape(1, -1) for i in range(n_layers)]
     out_dim = dims[-1][1]
 
@@ -258,7 +270,7 @@ def _bwd_rule(cfg, residuals, g):
     g_p = _pad_rows(g, n_padded)  # zero grads on padded rows -> no dW pollution
     grid = n_padded // TILE
 
-    weights = [params["mlp"][i]["w"] for i in range(n_layers)]
+    weights = [params["mlp"][i]["w"].astype(cdtype) for i in range(n_layers)]
     biases = [params["mlp"][i]["b"].reshape(1, -1) for i in range(n_layers)]
     out_dim = dims[-1][1]
 
@@ -289,6 +301,10 @@ def _bwd_rule(cfg, residuals, g):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=(
+            [pltpu.VMEM(w.shape, jnp.float32) for w in weights]
+            + [pltpu.VMEM((1, b.shape[-1]), jnp.float32) for b in biases]
+        ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(cw_in, cwf_in, coords_p, g_p, *weights, *biases)

@@ -64,6 +64,30 @@ def warp_grid_cf(xy_grid: jax.Array, warp: jax.Array, eps: float = 1e-8) -> jax.
     return warped_hom[:, :2, :] / (warped_hom[:, 2:3, :] + eps)
 
 
+def warp_grid_cf_flat(xy_grid: jax.Array, warp: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Fully-flattened channels-first warp: [2, B*HW].
+
+    The batch axis is folded into the pixel (lane) axis — the MLP treats all
+    B*HW points identically, and with a pure 2-D [C, N] layout the backward's
+    dW contractions reduce over the last axis of both operands (MXU-native,
+    no transposes; a [B, C, N] layout forces XLA to transpose every [B, 256,
+    HW] activation gradient to make {B, N} adjacent).
+
+    Args:
+      xy_grid: [HW, 2] normalized coordinates.
+      warp: [B, 8] sl(3) coordinates.
+
+    Returns:
+      [2, B*HW] warped coordinates; pixel order is image-major (b, then hw),
+      so `out.reshape(2, B, HW)` recovers the per-image view.
+    """
+    grid_hom_T = to_hom(xy_grid).T  # [3, HW]
+    H = sl3_to_SL3(warp)  # [B, 3, 3]
+    warped_hom = jnp.einsum("bjk,kn->jbn", H, grid_hom_T)  # [3, B, HW]; b,n adjacent
+    warped_hom = warped_hom.reshape(3, -1)  # [3, B*HW] — free reshape
+    return warped_hom[:2, :] / (warped_hom[2:3, :] + eps)
+
+
 def warp_corners(corners: jax.Array, warp: jax.Array) -> jax.Array:
     """Warp patch-corner points for homography visualization
     (reference warp.py:83-93).

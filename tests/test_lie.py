@@ -21,10 +21,10 @@ def test_taylor_matches_pade_and_scipy(rng):
             np.testing.assert_allclose(ours[i], expected, rtol=5e-5, atol=1e-5)
 
 
-def test_taylor_is_default_method(rng):
+def test_taylor_matches_default_pade(rng):
     h = jnp.asarray(rng.randn(4, 8).astype(np.float32) * 0.5)
     np.testing.assert_allclose(
-        np.asarray(sl3_to_SL3(h)), np.asarray(sl3_to_SL3(h, method="pade")), rtol=2e-5, atol=2e-6
+        np.asarray(sl3_to_SL3(h, method="taylor")), np.asarray(sl3_to_SL3(h)), rtol=2e-5, atol=2e-6
     )
 
 
