@@ -27,13 +27,15 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from marf_tpu.models.planar import PlanarConfig, graph_forward, graph_loss
+from marf_tpu.models.planar import PlanarConfig, graph_forward, graph_loss, use_fused_step
 from marf_tpu.ops.lie import sl3_to_SL3
 from marf_tpu.ops.losses import (
+    alpha_schedule,
     check_finite,
     homography_error,
     mse,
     psnr_from_rgb_loss,
+    render_loss,
     summarize_loss,
 )
 
@@ -126,11 +128,9 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
     model/planar.py:156-158).
     """
     compute_mask_error = cfg.use_implicit_mask and cfg.use_masks
+    fused = use_fused_step(cfg)
 
-    def step_fn(state: TrainState, data: dict):
-        step = state.step
-        progress = step.astype(jnp.float32) / cfg.max_iter
-
+    def _autodiff_grads(state, data, progress, step):
         def loss_fn(params):
             outputs = graph_forward(params, data, cfg, progress)
             loss = graph_loss(outputs, data, cfg, step)
@@ -138,6 +138,82 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             return total, (loss, outputs)
 
         (total, (loss, outputs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return total, loss, outputs, grads
+
+    def _fused_step_grads(state, data, progress, step):
+        """Single-pass Pallas kernel path (ops/pallas/fused_step.py): the MLP
+        gradient is computed in-kernel from the analytically known masked-MSE
+        cotangent; only the tiny warp chain goes through jax.vjp."""
+        from marf_tpu.ops.filters import compute_edges
+        from marf_tpu.ops.grid import normalized_pixel_grid
+        from marf_tpu.ops.pallas.fused_step import fused_train_kernel
+        from marf_tpu.ops.posenc import barf_c2f_weights
+        from marf_tpu.ops.warp import warp_grid_cf_flat
+
+        params = state.params
+        h, w = cfg.map_hw
+        B = cfg.batch_size
+        N = B * h * w
+        alpha = (
+            alpha_schedule(step, cfg.max_iter, cfg.alpha_initial, cfg.alpha_final)
+            if cfg.use_edges
+            else jnp.asarray(0.0, dtype=jnp.float32)
+        )
+        # d total / d loss_rgb: the render term's (1 - alpha) plus the direct
+        # loss_rgb term (reference model/planar.py:172-185, 371-376)
+        g_loss_scale = (10.0 ** float(cfg.w_render)) * (1.0 - alpha)
+        if cfg.w_rgb is not None:
+            g_loss_scale = g_loss_scale + (10.0 ** float(cfg.w_rgb))
+
+        grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+        warped_flat, warp_vjp = jax.vjp(lambda wp: warp_grid_cf_flat(grid, wp), params["warp"])
+        coords_rm = warped_flat.T  # [N, 2] b-major rows
+
+        targets_flat = data["rgb"].transpose(0, 2, 3, 1).reshape(N, 3)
+        if cfg.use_masks and data.get("masks") is not None:
+            masks_flat = data["masks"].transpose(0, 2, 3, 1).reshape(N, 1)
+        else:
+            masks_flat = jnp.ones((N, 1), dtype=jnp.float32)
+        inv_sum3 = 1.0 / (jnp.sum(masks_flat) * 3.0)
+
+        L = cfg.arch.posenc_L or 0
+        if L and cfg.arch.barf_c2f is not None:
+            cw = barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), L)
+        else:
+            cw = jnp.ones((max(L, 1),), dtype=jnp.float32)
+
+        rgb_flat, rgb_loss, dmlp, dcoords = fused_train_kernel(
+            params["neural_image"], coords_rm, targets_flat, masks_flat, cw,
+            g_loss_scale, inv_sum3, cfg.arch,
+        )
+        dwarp = warp_vjp(dcoords.T)[0]
+        grads = {"neural_image": dmlp, "warp": dwarp}
+
+        rgb_map = rgb_flat.reshape(B, h, w, 3).transpose(0, 3, 1, 2)
+        outputs = {"rgb_prediction": rgb_flat.reshape(B, h * w, 3), "rgb_prediction_map": rgb_map}
+        if cfg.use_edges:
+            outputs["edge_prediction"] = compute_edges(rgb_map, differentiable=False)
+            edge_loss = mse(outputs["edge_prediction"], data["edges"], data.get("masks_eroded"))
+        else:
+            edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        mask_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        loss = {
+            "render": render_loss(rgb_loss, edge_loss, mask_loss, alpha),
+            "rgb": rgb_loss,
+            "mask": mask_loss,
+            "edge": edge_loss,
+        }
+        total = summarize_loss(loss, cfg.loss_weight)
+        return total, loss, outputs, grads
+
+    def step_fn(state: TrainState, data: dict):
+        step = state.step
+        progress = step.astype(jnp.float32) / cfg.max_iter
+
+        if fused:
+            total, loss, outputs, grads = _fused_step_grads(state, data, progress, step)
+        else:
+            total, loss, outputs, grads = _autodiff_grads(state, data, progress, step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

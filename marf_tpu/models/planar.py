@@ -69,6 +69,9 @@ class PlanarConfig:
     fix_first: bool = True
     # architecture
     arch: NeuralImageConfig = dataclasses.field(default_factory=NeuralImageConfig)
+    # single-pass fused fwd+loss+bwd train kernel (ops/pallas/fused_step.py):
+    # 'auto' (on TPU when the config is in scope), 'on', 'off'
+    fused_step: str = "auto"
     # loss weights in log10 scale; None disables a term (planar.yaml:67-71)
     w_render: float | None = 0.0
     w_rgb: float | None = 0.0
@@ -124,6 +127,7 @@ class PlanarConfig:
             alpha_final=float(opt.get("alpha_final", 1.0)),
             differentiable_edges=bool(tpu_opts.get("differentiable_edges", False)),
             mask_quantize_levels=int(tpu_opts.get("mask_quantize_levels", 1)),
+            fused_step=str(tpu_opts.get("fused_step", "auto")),
             warp_type=opt.warp.type,
             warp_dof=opt.warp.dof,
             fix_first=bool(opt.warp.get("fix_first", True)),
@@ -133,6 +137,24 @@ class PlanarConfig:
             w_edge=lw.get("edge", 0.0),
             w_mask=lw.get("mask", 0.0),
         )
+
+
+def use_fused_step(cfg: PlanarConfig) -> bool:
+    """Whether the single-pass fused train kernel covers this config:
+    fixed/no masks (the implicit-mask head keeps the autodiff path), no skip
+    connections, render loss enabled."""
+    from marf_tpu.ops.pallas.fused_step import fused_step_supported
+
+    if cfg.fused_step == "off" or cfg.use_implicit_mask or cfg.w_render is None:
+        return False
+    if not fused_step_supported(cfg.arch) or _use_fused(cfg.arch):
+        return False
+    if cfg.fused_step == "on":
+        return True
+    # 'auto': the flat channels-first XLA path currently wins (142 vs 134
+    # steps/s on v5e) — the kernel is VPU-bound on lane-padded posenc tiles
+    # (PERF.md); keep it opt-in until that is fixed.
+    return False
 
 
 def init_graph_params(key: jax.Array, cfg: PlanarConfig, dtype=jnp.float32) -> dict:

@@ -1,0 +1,90 @@
+"""Single-pass fused train kernel: gradient/loss equivalence with the
+autodiff path (interpret mode on CPU; compiles on TPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marf_tpu.engine.step import init_train_state, make_optimizer, make_train_chunk, make_train_step
+from marf_tpu.models.neural_image import NeuralImageConfig
+from marf_tpu.models.planar import PlanarConfig, init_graph_params, use_fused_step
+from tests.test_models import fake_data
+
+OPTIM = {"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": "Adam"}
+
+
+def cfg_pair(**kw):
+    base = dict(
+        H=32, W=64, patch_H=16, patch_W=32, batch_size=3, max_iter=100,
+        arch=NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4), fused="off"),
+    )
+    base.update(kw)
+    off = PlanarConfig(**base, fused_step="off")
+    on = PlanarConfig(**base, fused_step="on")
+    return off, on
+
+
+def run_steps(cfg, data, n=3):
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+    state = init_train_state(params, tx)
+    chunk = make_train_chunk(make_train_step(cfg, tx), n, donate=False)
+    return chunk(state, data)
+
+
+def test_gating():
+    off, on = cfg_pair()
+    assert not use_fused_step(off)
+    assert use_fused_step(on)
+    # implicit masks keep the autodiff path
+    _, on_im = cfg_pair(use_implicit_mask=True, N_vocab=8)
+    assert not use_fused_step(on_im)
+
+
+@pytest.mark.parametrize("use_masks,use_edges", [(True, True), (True, False), (False, True)])
+def test_fused_step_matches_autodiff(rng, use_masks, use_edges):
+    off, on = cfg_pair(use_masks=use_masks, use_edges=use_edges)
+    data = fake_data(off, rng)
+    if not use_masks:
+        data = dict(data, masks=None, masks_eroded=None)
+    s_off, m_off = run_steps(off, data)
+    s_on, m_on = run_steps(on, data)
+    np.testing.assert_allclose(np.asarray(m_on["all"]), np.asarray(m_off["all"]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(m_on["loss_rgb"]), np.asarray(m_off["loss_rgb"]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(m_on["loss_edge"]), np.asarray(m_off["loss_edge"]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s_on.params["warp"]), np.asarray(s_off.params["warp"]), rtol=1e-3, atol=1e-6
+    )
+    for li in range(len(off.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s_on.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s_off.params["neural_image"]["mlp"][li]["w"]),
+            rtol=1e-3, atol=1e-6, err_msg=f"layer {li} weights",
+        )
+
+
+def test_fused_step_alpha_schedule(rng):
+    """The analytic cotangent must track alpha over steps: compare at a later
+    step where alpha differs materially."""
+    off, on = cfg_pair(alpha_initial=0.2, alpha_final=0.9)
+    data = fake_data(off, rng)
+    s_off, m_off = run_steps(off, data, n=10)
+    s_on, m_on = run_steps(on, data, n=10)
+    np.testing.assert_allclose(np.asarray(m_on["all"]), np.asarray(m_off["all"]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s_on.params["warp"]), np.asarray(s_off.params["warp"]), rtol=2e-3, atol=1e-6
+    )
+
+
+def test_fused_step_psnr_metric(rng):
+    off, on = cfg_pair()
+    data = fake_data(off, rng)
+    _, m_off = run_steps(off, data)
+    _, m_on = run_steps(on, data)
+    np.testing.assert_allclose(np.asarray(m_on["PSNR"]), np.asarray(m_off["PSNR"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m_on["Homography_Error"]), np.asarray(m_off["Homography_Error"]), rtol=1e-3, atol=1e-6
+    )
