@@ -29,6 +29,7 @@ WARMUP_CHUNKS = 1
 # experiment knobs (bench defaults stay the faithful config)
 DTYPE = os.environ.get("MARF_BENCH_DTYPE", "float32")
 FUSED = os.environ.get("MARF_BENCH_FUSED", "off")
+FUSED_STEP = os.environ.get("MARF_BENCH_FUSED_STEP", "auto")
 
 
 def log(msg):
@@ -43,6 +44,7 @@ def main():
 
     cfg = PlanarConfig(
         max_iter=MAX_ITER,
+        fused_step=FUSED_STEP,
         arch=NeuralImageConfig(
             layers=(None, 256, 256, 256, 256, 3), posenc_L=8, barf_c2f=(0, 0.4),
             compute_dtype=DTYPE, fused=FUSED,

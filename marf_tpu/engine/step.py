@@ -144,10 +144,10 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         """Single-pass Pallas kernel path (ops/pallas/fused_step.py): the MLP
         gradient is computed in-kernel from the analytically known masked-MSE
         cotangent; only the tiny warp chain goes through jax.vjp."""
+        from marf_tpu.models.neural_image import encode_coords
         from marf_tpu.ops.filters import compute_edges
         from marf_tpu.ops.grid import normalized_pixel_grid
         from marf_tpu.ops.pallas.fused_step import fused_train_kernel
-        from marf_tpu.ops.posenc import barf_c2f_weights
         from marf_tpu.ops.warp import warp_grid_cf_flat
 
         params = state.params
@@ -166,8 +166,14 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             g_loss_scale = g_loss_scale + (10.0 ** float(cfg.w_rgb))
 
         grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
-        warped_flat, warp_vjp = jax.vjp(lambda wp: warp_grid_cf_flat(grid, wp), params["warp"])
-        coords_rm = warped_flat.T  # [N, 2] b-major rows
+
+        def warp_and_encode(wp):
+            # warp + posenc + c2f + concat in XLA (cheap; the kernel is a
+            # pure dense stack) — its VJP chains denc -> dwarp
+            coords_rm = warp_grid_cf_flat(grid, wp).T  # [N, 2]
+            return encode_coords(coords_rm, cfg.arch, progress)
+
+        enc, enc_vjp = jax.vjp(warp_and_encode, params["warp"])
 
         targets_flat = data["rgb"].transpose(0, 2, 3, 1).reshape(N, 3)
         if cfg.use_masks and data.get("masks") is not None:
@@ -176,17 +182,11 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             masks_flat = jnp.ones((N, 1), dtype=jnp.float32)
         inv_sum3 = 1.0 / (jnp.sum(masks_flat) * 3.0)
 
-        L = cfg.arch.posenc_L or 0
-        if L and cfg.arch.barf_c2f is not None:
-            cw = barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), L)
-        else:
-            cw = jnp.ones((max(L, 1),), dtype=jnp.float32)
-
-        rgb_flat, rgb_loss, dmlp, dcoords = fused_train_kernel(
-            params["neural_image"], coords_rm, targets_flat, masks_flat, cw,
+        rgb_flat, rgb_loss, dmlp, denc = fused_train_kernel(
+            params["neural_image"], enc, targets_flat, masks_flat,
             g_loss_scale, inv_sum3, cfg.arch,
         )
-        dwarp = warp_vjp(dcoords.T)[0]
+        dwarp = enc_vjp(denc)[0]
         grads = {"neural_image": dmlp, "warp": dwarp}
 
         rgb_map = rgb_flat.reshape(B, h, w, 3).transpose(0, 3, 1, 2)

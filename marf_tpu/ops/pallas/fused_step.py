@@ -1,5 +1,5 @@
-"""Single-pass fused train kernel: posenc + MLP forward + masked-MSE loss +
-full backward (dW/db/dcoords) in one Pallas kernel.
+"""Single-pass fused train kernel: MLP forward + masked-MSE loss + full
+backward (dW/db/denc) in one Pallas kernel over pre-encoded points.
 
 This is the north-star kernel (BASELINE.json): the planar step's gradient
 structure is known analytically — the edge term is gradient-blocked
@@ -8,16 +8,18 @@ d loss_rgb / d rgb = 2 * (rgb - target) * mask / (sum(mask) * 3), scaled by
 the step-dependent coefficient C = 10^w_render * (1 - alpha) + 10^w_rgb.
 So instead of autodiff re-tracing the MLP (which costs a forward recompute in
 the backward kernel), ONE kernel pass computes rgb, the loss partials, and
-all parameter/coordinate gradients: 267 GFLOP total instead of 356, zero HBM
-activation traffic.
+all weight gradients: 267 GFLOP total instead of 356, zero HBM activation
+traffic.
+
+Division of labor (v2): posenc and the warp chain stay in XLA — in-kernel
+posenc ran on 8-to-34-of-128 lane-padded VPU tiles and dominated the kernel
+(~2.5 ms/step measured); XLA computes the [N, 34] encoding in ~0.3 ms and
+its VJP via jax.vjp. The kernel is a pure dense stack.
 
 MXU latency hiding: dependent matmul chains run at ~32 TF/s on this chip
 (measured); interleaving S independent row-streams per grid step recovers
-throughput (2 streams ~2.3x, 4 streams ~3.8x measured). The kernel processes
-S sub-tiles per grid step with all layer-k matmuls adjacent.
-
-Used by the engine when `tpu.fused_step=on|auto` and the config is in scope:
-fixed masks (no implicit-mask head), no skip connections.
+throughput (2 streams ~2.3x, 4 streams ~3.8x measured). All layer-k matmuls
+of the S streams are emitted adjacently.
 """
 
 from __future__ import annotations
@@ -26,17 +28,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from marf_tpu.ops.pallas.fused_mlp import (
-    _interpret,
-    _pad_rows,
-    _posenc_tile,
-    _posenc_tile_bwd,
-    _round_up,
-)
+from marf_tpu.ops.pallas.fused_mlp import _interpret, _pad_rows, _round_up
 
 SUB = 512  # rows per stream
 N_STREAMS = 4
@@ -48,22 +43,22 @@ def fused_step_supported(arch_cfg) -> bool:
     return not arch_cfg.skip
 
 
-def _kernel(L, n_layers, cdtype, scalars_ref, cw_ref, cwf_ref, coords_ref, tgt_ref, msk_ref, grgb_ref, *refs):
+def _kernel(n_layers, in_dim, cdtype, scalars_ref, enc_ref, tgt_ref, msk_ref, grgb_ref, *refs):
     """One grid step: S independent row-streams through fwd + loss + bwd.
 
-    scalars_ref (SMEM [2]): [0] = g_loss * 2 / (sum(mask) * 3) (the cotangent
-    scale of the masked-MSE), [1] = loss-partial scale (1 / (sum(mask) * 3)).
+    scalars_ref (SMEM [2]): [0] = d_total/d_rgb scale (2 * C / (sum(m)*3)),
+    [1] = loss-partial scale (1 / (sum(m)*3)).
     """
     w_refs = refs[:n_layers]
     b_refs = refs[n_layers : 2 * n_layers]
     rgb_ref = refs[2 * n_layers]
-    dcoords_ref = refs[2 * n_layers + 1]
-    loss_ref = refs[2 * n_layers + 2]  # [1, 1] accumulated scalar partial
+    denc_ref = refs[2 * n_layers + 1]
+    loss_ref = refs[2 * n_layers + 2]  # [1, 1]
     out_dw = refs[2 * n_layers + 3 : 3 * n_layers + 3]
     out_db = refs[3 * n_layers + 3 : 4 * n_layers + 3]
     acc_dw = refs[4 * n_layers + 3 : 5 * n_layers + 3]
     acc_db = refs[5 * n_layers + 3 : 6 * n_layers + 3]
-    loss_acc = refs[6 * n_layers + 3]  # SMEM [1] scratch
+    loss_acc = refs[6 * n_layers + 3]  # SMEM [1]
 
     step = pl.program_id(0)
 
@@ -76,13 +71,10 @@ def _kernel(L, n_layers, cdtype, scalars_ref, cw_ref, cwf_ref, coords_ref, tgt_r
 
     dscale = scalars_ref[0]
     lscale = scalars_ref[1]
-    cw = cw_ref[:]
-    cwf = cwf_ref[:]
 
     # ---- forward: S streams, layer-major interleave (independent matmuls
-    # back to back so the MXU pipeline stays full)
-    coords_s = [coords_ref[pl.ds(s * SUB, SUB), :] for s in range(N_STREAMS)]
-    acts = [[_posenc_tile(coords_s[s], cw, L).astype(cdtype)] for s in range(N_STREAMS)]
+    # back to back keep the MXU pipeline full)
+    acts = [[enc_ref[pl.ds(s * SUB, SUB), :].astype(cdtype)] for s in range(N_STREAMS)]
     for li in range(n_layers):
         for s in range(N_STREAMS):
             z = (
@@ -116,20 +108,17 @@ def _kernel(L, n_layers, cdtype, scalars_ref, cw_ref, cwf_ref, coords_ref, tgt_r
                 a, d_s[s], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             acc_db[li][:] += jnp.sum(d_s[s].astype(jnp.float32), axis=0, keepdims=True)
-        if li > 0:
-            for s in range(N_STREAMS):
-                da = jax.lax.dot_general(
-                    d_s[s], w_refs[li][:], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                d_s[s] = (da * (acts[s][li].astype(jnp.float32) > 0.0)).astype(cdtype)
-        else:
-            for s in range(N_STREAMS):
-                denc = jax.lax.dot_general(
-                    d_s[s], w_refs[0][:], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dcoords_ref[pl.ds(s * SUB, SUB), :] = _posenc_tile_bwd(coords_s[s], cwf, L, denc)
+        new_d = []
+        for s in range(N_STREAMS):
+            da = jax.lax.dot_general(
+                d_s[s], w_refs[li][:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if li > 0:
+                new_d.append((da * (acts[s][li].astype(jnp.float32) > 0.0)).astype(cdtype))
+            else:
+                denc_ref[pl.ds(s * SUB, SUB), :] = da
+        d_s = new_d
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _writeout():
@@ -139,51 +128,45 @@ def _kernel(L, n_layers, cdtype, scalars_ref, cw_ref, cwf_ref, coords_ref, tgt_r
         loss_ref[:] = jnp.full((1, 1), loss_acc[0], dtype=jnp.float32)
 
 
-def fused_train_kernel(params, coords, targets, masks, cw, g_loss_scale, inv_sum3, arch_cfg):
-    """Run the fused fwd+loss+bwd kernel.
+def fused_train_kernel(params, enc, targets, masks, g_loss_scale, inv_sum3, arch_cfg):
+    """Run the fused fwd+loss+bwd dense-stack kernel.
 
     Args:
       params: MLP pytree (f32 master weights).
-      coords: [N, 2] warped coordinates (row-major).
+      enc: [N, input_dim] encoded points (posenc+c2f+concat done in XLA).
       targets: [N, 3] flat target rgb.
       masks: [N, 1] flat binary mask (ones when masks are off).
-      cw: [L] c2f band weights.
-      g_loss_scale: scalar — d total_loss / d rgb_loss (the analytic cotangent
-        coefficient; includes loss weights and (1 - alpha)).
-      inv_sum3: scalar — 1 / (sum(mask) * 3) (the reference's masked-MSE
+      g_loss_scale: scalar — d total_loss / d rgb_loss (analytic cotangent).
+      inv_sum3: scalar — 1 / (sum(mask) * 3) (reference masked-MSE
         normalization, model/planar.py:388-390).
       arch_cfg: NeuralImageConfig (static).
 
     Returns:
-      (rgb [N, 3], rgb_loss scalar, dparams pytree, dcoords [N, 2]).
+      (rgb [N, 3], rgb_loss scalar, dparams pytree, denc [N, input_dim]).
     """
     dims = arch_cfg.layer_dims
     n_layers = len(dims)
-    L = arch_cfg.posenc_L or 0
+    in_dim = dims[0][0]
     cdtype = jnp.dtype(arch_cfg.compute_dtype)
-    N = coords.shape[0]
+    N = enc.shape[0]
     n_padded = _round_up(max(N, TILE), TILE)
     grid = n_padded // TILE
     out_dim = dims[-1][1]
 
-    coords_p = _pad_rows(coords, n_padded)
+    enc_p = _pad_rows(enc, n_padded)
     targets_p = _pad_rows(targets, n_padded)
     masks_p = _pad_rows(masks, n_padded)  # zero mask on padding -> no loss/grad pollution
-    grgb = jnp.zeros((n_padded, out_dim), dtype=jnp.float32)  # rgb cotangent beyond the loss (none)
+    grgb = jnp.zeros((n_padded, out_dim), dtype=jnp.float32)
 
     weights = [params["mlp"][i]["w"].astype(cdtype) for i in range(n_layers)]
     biases = [params["mlp"][i]["b"].reshape(1, -1) for i in range(n_layers)]
-
-    freq = (2.0 ** np.arange(max(L, 1), dtype=np.float32)) * np.pi
-    cw_in = cw.reshape(1, -1) if L else jnp.ones((1, 1), jnp.float32)
-    cwf_in = cw_in * freq[None, :]
     scalars = jnp.stack([2.0 * g_loss_scale * inv_sum3, inv_sum3]).astype(jnp.float32)
 
-    kernel = functools.partial(_kernel, L, n_layers, cdtype)
+    kernel = functools.partial(_kernel, n_layers, in_dim, cdtype)
     out_shapes = (
         [
             jax.ShapeDtypeStruct((n_padded, out_dim), jnp.float32),  # rgb
-            jax.ShapeDtypeStruct((n_padded, 2), jnp.float32),  # dcoords
+            jax.ShapeDtypeStruct((n_padded, in_dim), jnp.float32),  # denc
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # rgb_loss
         ]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
@@ -192,7 +175,7 @@ def fused_train_kernel(params, coords, targets, masks, cw, g_loss_scale, inv_sum
     out_specs = (
         [
             pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, in_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in weights]
@@ -203,9 +186,7 @@ def fused_train_kernel(params, coords, targets, masks, cw, g_loss_scale, inv_sum
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [2]
-            pl.BlockSpec((1, max(L, 1)), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, max(L, 1)), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, in_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),  # enc
             pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),  # targets
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),  # masks
             pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),  # grgb
@@ -220,12 +201,12 @@ def fused_train_kernel(params, coords, targets, masks, cw, g_loss_scale, inv_sum
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(scalars, cw_in, cwf_in, coords_p, targets_p, masks_p, grgb, *weights, *biases)
+    )(scalars, enc_p, targets_p, masks_p, grgb, *weights, *biases)
 
     rgb = outs[0][:N]
-    dcoords = outs[1][:N]
+    denc = outs[1][:N]
     rgb_loss = outs[2][0, 0]
     dws = outs[3 : 3 + n_layers]
     dbs = [b.reshape(-1) for b in outs[3 + n_layers :]]
     dparams = {"mlp": [{"w": dws[i], "b": dbs[i]} for i in range(n_layers)]}
-    return rgb, rgb_loss, dparams, dcoords
+    return rgb, rgb_loss, dparams, denc
