@@ -22,7 +22,6 @@ the sigmoid stay f32) — set compute_dtype='bfloat16'.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

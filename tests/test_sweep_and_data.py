@@ -100,3 +100,21 @@ def test_sweep_runs_one_case(tmp_path, monkeypatch):
     )
     assert m.it == 20
     assert os.path.isdir(m.vis_path)
+
+
+def test_tb_writer_roundtrip(tmp_path, rng):
+    """Our torch-free TB writer produces event files TensorBoard can read back."""
+    from marf_tpu.utils.tb import SummaryWriter
+    from tensorboard.backend.event_processing.event_accumulator import EventAccumulator
+
+    w = SummaryWriter(str(tmp_path))
+    for i in range(5):
+        w.add_scalar("train/PSNR", 20.0 + i, step=i * 20)
+    w.add_image("train/predicted_image", rng.rand(3, 8, 10).astype(np.float32), step=100)
+    w.close()
+    ea = EventAccumulator(str(tmp_path))
+    ea.Reload()
+    scalars = ea.Scalars("train/PSNR")
+    assert [s.step for s in scalars] == [0, 20, 40, 60, 80]
+    assert abs(scalars[-1].value - 24.0) < 1e-6
+    assert ea.Tags()["images"] == ["train/predicted_image"]

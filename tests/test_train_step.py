@@ -146,3 +146,39 @@ def test_homography_error_decreases_with_gt_alignment(rng):
     H = sl3_to_SL3(w)
     assert float(homography_error(H, H)) < 1e-10
     assert float(homography_error(H, jnp.asarray(np.eye(3, dtype=np.float32))[None].repeat(3, 0))) > 0
+
+
+def test_train_view_embedding_fix_mode(rng):
+    """optim.train_view_embedding=True unfreezes the view embedding."""
+    cfg = small_cfg(use_implicit_mask=True, N_vocab=16)
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    optim = {"lr": 1e-2, "lr_warp": 1e-2, "lr_mask": 1e-2, "algo": "Adam", "train_view_embedding": True}
+    tx = make_optimizer(optim, cfg.max_iter)
+    state = init_train_state(params, tx)
+    data = fake_data(cfg, rng)
+    step_fn = make_train_step(cfg, tx)
+    new_state, _ = jax.jit(step_fn)(state, data)
+    # only rows 0/1 of the embedding are gathered (the {0,1} quirk) -> those
+    # rows move, the rest stay
+    old = np.asarray(state.params["view_embedding"])
+    new = np.asarray(new_state.params["view_embedding"])
+    assert not np.allclose(new[:2], old[:2])
+    np.testing.assert_array_equal(new[2:], old[2:])
+
+
+def test_steplr_schedule(rng):
+    cfg = small_cfg()
+    optim = {"lr": 1e-2, "lr_warp": 1e-2, "lr_mask": 1e-2, "algo": "Adam",
+             "sched": {"type": "StepLR", "steps": 2, "gamma": 0.5}}
+    state, data, step_fn = build(cfg, optim=optim, rng=rng)
+    chunk = make_train_chunk(step_fn, 6, donate=False)
+    s, m = chunk(state, data)
+    assert np.isfinite(np.asarray(m["all"])).all()
+
+
+def test_sgd_and_rmsprop_algos(rng):
+    cfg = small_cfg()
+    for algo in ("SGD", "RMSprop", "AdamW"):
+        state, data, step_fn = build(cfg, optim={"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": algo}, rng=rng)
+        new_state, metrics = jax.jit(step_fn)(state, data)
+        assert np.isfinite(float(metrics["all"])), algo
