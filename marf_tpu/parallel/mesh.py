@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+BATCH_AXIS = "batch"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -28,6 +29,17 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
         assert len(devices) >= n_devices, f"need {n_devices} devices, have {len(devices)}"
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_batch: int, n_pixel: int) -> Mesh:
+    """2-axis mesh ('batch', 'data'): image batch sharded over one axis,
+    pixels over the other. Useful when B and a spatial dim both divide the
+    device count (e.g. B=4 x pixel=2 on 8 chips); gradients still all-reduce
+    over both axes via XLA-inserted collectives."""
+    devices = jax.devices()
+    need = n_batch * n_pixel
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    return Mesh(np.asarray(devices[:need]).reshape(n_batch, n_pixel), (BATCH_AXIS, DATA_AXIS))
 
 
 def choose_pixel_axis(h: int, w: int, n_devices: int) -> int | None:
@@ -47,18 +59,21 @@ def replicate(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def _spatial_spec(axis: int | None):
+def _spatial_spec(axis: int | None, batch_sharded: bool = False):
+    b = BATCH_AXIS if batch_sharded else None
     if axis == 2:
-        return P(None, None, DATA_AXIS, None)
+        return P(b, None, DATA_AXIS, None)
     if axis == 3:
-        return P(None, None, None, DATA_AXIS)
-    return P()
+        return P(b, None, None, DATA_AXIS)
+    return P(b) if batch_sharded else P()
 
 
 def shard_planar_data(data: dict, mesh: Mesh, axis: int | None) -> dict:
     """Place the dataset dict: [B, C, h, w] image arrays sharded on the chosen
-    spatial axis, everything else (gt_hom [B,3,3], gt canvas) replicated."""
-    spatial = NamedSharding(mesh, _spatial_spec(axis))
+    spatial axis (and the batch axis too on a 2-axis mesh), everything else
+    (gt_hom [B,3,3], gt canvas) replicated."""
+    batch_sharded = BATCH_AXIS in mesh.axis_names
+    spatial = NamedSharding(mesh, _spatial_spec(axis, batch_sharded))
     repl = replicate(mesh)
     out = {}
     for key, value in data.items():

@@ -44,8 +44,8 @@ def make_sharded_train_setup(
        jitted chunk fn (state, data) -> (state, metrics)).
     """
     h, w = cfg.map_hw
-    n = mesh.devices.size
-    axis = choose_pixel_axis(h, w, n)
+    n_pixel = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    axis = choose_pixel_axis(h, w, n_pixel)
     repl = replicate(mesh)
 
     sharded_data = shard_planar_data(data, mesh, axis)

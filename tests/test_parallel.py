@@ -103,3 +103,27 @@ def test_sharded_full_training_progress(rng):
     losses = np.asarray(m["loss_rgb"])
     assert losses[-1] < losses[0]
     assert int(s.step) == 30
+
+
+def test_2d_mesh_batch_x_pixel(rng):
+    """2-axis ('batch','data') mesh: B sharded over 2 devices, pixel rows
+    over 4 — numerically equal to single-device."""
+    from marf_tpu.parallel.mesh import make_mesh_2d
+
+    cfg = mesh_cfg(batch_size=2)  # B=2 over batch axis; h=24 over 4 pixel devices
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    raw = fake_data(cfg, rng)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+
+    state1 = init_train_state(params, tx)
+    chunk1 = make_train_chunk(make_train_step(cfg, tx), 2, donate=False)
+    s1, m1 = chunk1(state1, raw)
+
+    mesh = make_mesh_2d(2, 4)
+    state2d, data2d, chunk2d = make_sharded_train_setup(cfg, tx, mesh, raw, params, n_steps=2, donate=False)
+    assert not data2d["rgb"].sharding.is_fully_replicated
+    s2, m2 = chunk2d(state2d, data2d)
+    np.testing.assert_allclose(np.asarray(m2["all"]), np.asarray(m1["all"]), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["warp"]), np.asarray(s1.params["warp"]), rtol=2e-4, atol=2e-6
+    )
