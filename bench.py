@@ -59,7 +59,7 @@ def main():
     data = device_put_dataset(raw)
     log(f"bench dataset: {dataset}, device: {jax.devices()[0]}")
 
-    params = init_graph_params(jax.random.PRNGKey(3), cfg)
+    params = init_graph_params(jax.random.PRNGKey(int(os.environ.get("MARF_BENCH_SEED", 3))), cfg)
     tx = make_optimizer({"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": "Adam"}, cfg.max_iter)
     state = init_train_state(params, tx)
     step_fn = make_train_step(cfg, tx, use_homographies=(raw.get("gt_hom") is not None))
