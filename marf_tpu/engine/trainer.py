@@ -180,14 +180,31 @@ class Model:
         # iteration-0 visualization (reference model/planar.py:152-153)
         self.visualize(step=0)
 
+        profile_chunks = int(self.opt.get("profile") or 0)  # trace the first N post-compile chunks
+
         pbar = tqdm.tqdm(total=max_iter, desc="Training", leave=False, initial=self.it)
         postfix = {}
+        chunk_idx = 0
         while self.it < max_iter:
             n = min(c, max_iter - self.it)
             self.timer.tic()
-            self.state, metrics = self._chunk(n)(self.state, self.data)
-            jax.block_until_ready(self.state.params["warp"])
-            self.timer.toc(n)
+            if profile_chunks and chunk_idx == 1:
+                # chunk 0 carries the compile; trace steady-state chunks
+                # (SURVEY.md §5: jax.profiler device trace as the tracing
+                # subsystem; view with tensorboard --logdir <output>/profile)
+                with jax.profiler.trace(f"{self.opt.output_path}/profile"):
+                    for _ in range(profile_chunks):
+                        self.state, metrics = self._chunk(n)(self.state, self.data)
+                    jax.block_until_ready(self.state.params["warp"])
+                self.timer.toc(n * profile_chunks)
+                self.it += n * (profile_chunks - 1)
+                pbar.update(n * (profile_chunks - 1))
+                log.info(f"profiler trace written to {self.opt.output_path}/profile")
+            else:
+                self.state, metrics = self._chunk(n)(self.state, self.data)
+                jax.block_until_ready(self.state.params["warp"])
+                self.timer.toc(n)
+            chunk_idx += 1
             self.it += n
             if self.it % freq.scalar == 0:
                 row = {k: np.asarray(v)[-1] for k, v in metrics.items()}
