@@ -28,6 +28,7 @@ CHUNK = 100
 WARMUP_CHUNKS = 1
 # experiment knobs (bench defaults stay the faithful config)
 DTYPE = os.environ.get("MARF_BENCH_DTYPE", "float32")
+PRECISION = os.environ.get("MARF_BENCH_PRECISION", "")
 FUSED = os.environ.get("MARF_BENCH_FUSED", "off")
 FUSED_STEP = os.environ.get("MARF_BENCH_FUSED_STEP", "auto")
 
@@ -56,6 +57,8 @@ def main():
     except FileNotFoundError:
         raw = synthesize_planar_dataset(cfg, seed=3)
         dataset = "synthetic"
+    if PRECISION:
+        jax.config.update("jax_default_matmul_precision", PRECISION)
     data = device_put_dataset(raw)
     log(f"bench dataset: {dataset}, device: {jax.devices()[0]}")
 
