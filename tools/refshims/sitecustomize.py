@@ -43,3 +43,26 @@ def _numpy(self, *args, **kwargs):
 
 
 torch.Tensor.numpy = _numpy
+
+# MARF_DUMP_INIT=<path.npz>: dump the Graph's initial state_dict the moment
+# build_networks() moves it to the device (reference model/planar.py:84) —
+# i.e. exactly the parameters training starts from, after the c2f first-layer
+# rescale (reference model/planar.py:421-426). Used for the same-init parity
+# transplant into marf_tpu (--load_torch_init).
+import os as _os
+
+_dump_path = _os.environ.get("MARF_DUMP_INIT")
+if _dump_path:
+    _orig_to = torch.nn.Module.to
+
+    def _to(self, *args, **kwargs):
+        out = _orig_to(self, *args, **kwargs)
+        if type(self).__name__ == "Graph" and not _os.path.exists(_dump_path):
+            import numpy as _np
+
+            sd = {k: v.detach().cpu().numpy() for k, v in self.state_dict().items()}
+            _np.savez(_dump_path, **sd)
+            print(f"[refshim] dumped initial state_dict ({len(sd)} tensors) -> {_dump_path}")
+        return out
+
+    torch.nn.Module.to = _to
