@@ -94,6 +94,11 @@ class Model:
         log.info("building networks...")
         key = jax.random.PRNGKey(int(self.opt.get("seed") or 0))
         self.params = init_graph_params(key, self.cfg)
+        torch_init = self.opt.get("load_torch_init")
+        if torch_init:
+            from marf_tpu.utils.torch_init import load_torch_init
+
+            self.params = load_torch_init(self.params, torch_init)
 
     def setup_optimizer(self):
         """Phase 3: per-group optimizer + state (reference model/planar.py:86-104),
