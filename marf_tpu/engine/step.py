@@ -65,7 +65,9 @@ def _lr_schedule(base_lr: float, optim_opt: dict, max_iter: int):
 
     The reference constructs a torch scheduler but never calls .step()
     (verified: no sched.step() in model/planar.py), so its schedules are
-    inert; here they are implemented for real (stepped per iteration):
+    INERT. Faithful-by-default: a configured `optim.sched` stays inert unless
+    the fix-mode flag `optim.apply_sched` is set, in which case schedules run
+    for real (stepped per iteration):
       - StepLR: lr * gamma^(floor(step / steps))
       - ExponentialLR: gamma, or derived from optim.lr_end over max_iter
         (gamma = (lr_end / lr) ** (1 / max_iter), BARF convention).
@@ -73,6 +75,15 @@ def _lr_schedule(base_lr: float, optim_opt: dict, max_iter: int):
     sched = optim_opt.get("sched") or {}
     stype = sched.get("type")
     if not stype:
+        return base_lr
+    if not optim_opt.get("apply_sched"):
+        from marf_tpu.utils.console import log
+
+        log.warn(
+            "optim.sched is configured but inert (reference-faithful: the "
+            "reference never steps its scheduler); set optim.apply_sched=true "
+            "to apply it for real"
+        )
         return base_lr
     if stype == "StepLR":
         steps, gamma = int(sched["steps"]), float(sched.get("gamma", 0.1))
@@ -255,8 +266,10 @@ def make_train_chunk(step_fn, n_steps: int, donate: bool = True):
     return jax.jit(chunk, donate_argnums=(0,) if donate else ())
 
 
-def chunk_schedule(max_iter: int, freq_scalar: int, freq_vis: int) -> int:
+def chunk_schedule(max_iter: int, freq_scalar: int, freq_vis: int, freq_ckpt: int | None = None) -> int:
     """Chunk length: the largest step count whose boundaries hit every
-    scalar-log and vis cadence point."""
+    scalar-log, vis, and (if set) checkpoint cadence point."""
     c = math.gcd(int(freq_scalar), int(freq_vis))
+    if freq_ckpt:
+        c = math.gcd(c, int(freq_ckpt))
     return max(1, min(c, max_iter))

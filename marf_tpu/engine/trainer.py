@@ -180,7 +180,7 @@ class Model:
         self._build_compiled()
         freq = self.opt.freq
         max_iter = int(self.cfg.max_iter)
-        c = chunk_schedule(max_iter, freq.scalar, freq.vis)
+        c = chunk_schedule(max_iter, freq.scalar, freq.vis, freq.get("ckpt"))
 
         # iteration-0 visualization (reference model/planar.py:152-153)
         self.visualize(step=0)
@@ -258,6 +258,7 @@ class Model:
         """Frame dump + TB image panels (reference model/planar.py:256-292)."""
         if self._render_jit is None:
             self._build_compiled()
+        tag_step = max(step, 1)  # panels land on 1, 100, 200... like the reference (model/planar.py:256-292 tags it+1)
         frame = self.predict_entire_image()  # [3, H, W]
         frame_u8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8).transpose(1, 2, 0)
         from PIL import Image
@@ -269,18 +270,18 @@ class Model:
         colors = self.box_colors
         if self.vis_it == 1:
             rgb = np.asarray(self.data["rgb"])
-            vis_lib.tb_image(self.opt, self.tb, self.it + 1, split, "input_images", vis_lib.color_border(rgb, colors))
+            vis_lib.tb_image(self.opt, self.tb, tag_step, split, "input_images", vis_lib.color_border(rgb, colors))
             if self.cfg.use_masks and self.data.get("masks") is not None:
                 masks = np.asarray(self.data["masks"])
-                vis_lib.tb_image(self.opt, self.tb, self.it + 1, split, "input_masks", vis_lib.color_border(masks, colors))
-        vis_lib.tb_image(self.opt, self.tb, self.it + 1, split, "predicted_image", frame[None])
+                vis_lib.tb_image(self.opt, self.tb, tag_step, split, "input_masks", vis_lib.color_border(masks, colors))
+        vis_lib.tb_image(self.opt, self.tb, tag_step, split, "predicted_image", frame[None])
         if self.cfg.use_implicit_mask:
             progress = jnp.asarray(max(self.it - 1, 0) / self.cfg.max_iter, dtype=jnp.float32)
             out = self._forward_jit(self.state.params, self.data, progress)
             h, w = self.cfg.map_hw
             mask_formed = np.asarray(out["mask_prediction"]).reshape(self.batch_size, h, w, 1).transpose(0, 3, 1, 2)
             vis_lib.tb_image(
-                self.opt, self.tb, self.it + 1, split, "implicit_masks",
+                self.opt, self.tb, tag_step, split, "implicit_masks",
                 vis_lib.color_border(mask_formed, colors, width=1, depth=1),
             )
 

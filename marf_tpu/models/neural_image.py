@@ -182,8 +182,10 @@ def apply_neural_image(
     for li, layer in enumerate(params["mlp"]):
         if li in cfg.skip:
             feat = jnp.concatenate([feat, points_enc], axis=-1)
-        layer = jax.tree.map(lambda x: x.astype(dtype), layer)
-        feat = apply_linear(layer, feat)
+        # cast only the weights; add the f32 bias to the f32 MXU accumulator
+        # (matches apply_neural_image_cf and both Pallas kernels exactly)
+        w = layer["w"].astype(dtype)
+        feat = jnp.dot(feat, w, preferred_element_type=jnp.float32) + layer["b"]
         if li != n_layers - 1:
             feat = jax.nn.relu(feat).astype(dtype)
     return jax.nn.sigmoid(feat.astype(jnp.float32))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from marf_tpu.engine.step import (
     chunk_schedule,
@@ -114,7 +115,7 @@ def test_per_group_learning_rates(rng):
 def test_exponential_lr_schedule(rng):
     cfg = small_cfg()
     optim = {"lr": 1e-2, "lr_warp": 1e-2, "lr_mask": 1e-2, "algo": "Adam", "lr_end": 1e-4,
-             "sched": {"type": "ExponentialLR"}}
+             "sched": {"type": "ExponentialLR"}, "apply_sched": True}
     state, data, step_fn = build(cfg, optim=optim, rng=rng)
     chunk = make_train_chunk(step_fn, 10, donate=False)
     s, m = chunk(state, data)
@@ -134,6 +135,20 @@ def test_chunk_schedule():
     assert chunk_schedule(3000, 30, 100) == 10
     assert chunk_schedule(5, 20, 100) == 5
     assert chunk_schedule(3000, 7, 13) == 1
+    # freq.ckpt folds into the chunk so periodic checkpoints actually fire
+    assert chunk_schedule(3000, 20, 100, 50) == 10
+    assert chunk_schedule(3000, 20, 100, 100) == 20
+
+
+def test_sched_inert_without_apply_flag(rng):
+    """Faithful-by-default: optim.sched is INERT unless apply_sched is set
+    (the reference never calls sched.step(), model/planar.py)."""
+    from marf_tpu.engine.step import _lr_schedule
+
+    optim = {"lr": 1e-2, "sched": {"type": "StepLR", "steps": 2, "gamma": 0.5}}
+    assert _lr_schedule(1e-2, optim, 100) == 1e-2
+    sched = _lr_schedule(1e-2, dict(optim, apply_sched=True), 100)
+    assert callable(sched) and sched(4) == pytest.approx(1e-2 * 0.25)
 
 
 def test_homography_error_decreases_with_gt_alignment(rng):
@@ -169,7 +184,7 @@ def test_train_view_embedding_fix_mode(rng):
 def test_steplr_schedule(rng):
     cfg = small_cfg()
     optim = {"lr": 1e-2, "lr_warp": 1e-2, "lr_mask": 1e-2, "algo": "Adam",
-             "sched": {"type": "StepLR", "steps": 2, "gamma": 0.5}}
+             "sched": {"type": "StepLR", "steps": 2, "gamma": 0.5}, "apply_sched": True}
     state, data, step_fn = build(cfg, optim=optim, rng=rng)
     chunk = make_train_chunk(step_fn, 6, donate=False)
     s, m = chunk(state, data)
