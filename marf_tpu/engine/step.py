@@ -155,10 +155,10 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         """Single-pass Pallas kernel path (ops/pallas/fused_step.py): the MLP
         gradient is computed in-kernel from the analytically known masked-MSE
         cotangent; only the tiny warp chain goes through jax.vjp."""
-        from marf_tpu.models.neural_image import encode_coords
         from marf_tpu.ops.filters import compute_edges
         from marf_tpu.ops.grid import normalized_pixel_grid
         from marf_tpu.ops.pallas.fused_step import fused_train_kernel
+        from marf_tpu.ops.posenc import barf_c2f_weights
         from marf_tpu.ops.warp import warp_grid_cf_flat
 
         params = state.params
@@ -178,30 +178,38 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
 
         grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
 
-        def warp_and_encode(wp):
-            # warp + posenc + c2f + concat in XLA (cheap; the kernel is a
-            # pure dense stack) — its VJP chains denc -> dwarp
-            coords_rm = warp_grid_cf_flat(grid, wp).T  # [N, 2]
-            return encode_coords(coords_rm, cfg.arch, progress)
+        # warp in XLA (tiny [B,8] chain), EVERYTHING else channels-first in
+        # the kernel: posenc + c2f + MLP fwd + loss partials + full bwd incl.
+        # the analytic posenc VJP. Only [2,N] coords / [3,N] targets /
+        # [1,N] masks / [2,N] dcoords cross HBM.
+        coords_cf, warp_vjp = jax.vjp(
+            lambda wp: warp_grid_cf_flat(grid, wp), params["warp"]
+        )  # [2, N]
+        cw = (
+            barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), cfg.arch.posenc_L)
+            if (cfg.arch.posenc_L and cfg.arch.barf_c2f is not None)
+            else None
+        )
 
-        enc, enc_vjp = jax.vjp(warp_and_encode, params["warp"])
-
-        targets_flat = data["rgb"].transpose(0, 2, 3, 1).reshape(N, 3)
+        targets_cf = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
         if cfg.use_masks and data.get("masks") is not None:
-            masks_flat = data["masks"].transpose(0, 2, 3, 1).reshape(N, 1)
+            masks_cf = data["masks"].transpose(1, 0, 2, 3).reshape(1, N)
         else:
-            masks_flat = jnp.ones((N, 1), dtype=jnp.float32)
-        inv_sum3 = 1.0 / (jnp.sum(masks_flat) * 3.0)
+            masks_cf = jnp.ones((1, N), dtype=jnp.float32)
+        inv_sum3 = 1.0 / (jnp.sum(masks_cf) * 3.0)
 
-        rgb_flat, rgb_loss, dmlp, denc = fused_train_kernel(
-            params["neural_image"], enc, targets_flat, masks_flat,
+        rgb_cf, rgb_loss, dmlp, dcoords_cf = fused_train_kernel(
+            params["neural_image"], coords_cf, cw, targets_cf, masks_cf,
             g_loss_scale, inv_sum3, cfg.arch,
         )
-        dwarp = enc_vjp(denc)[0]
+        dwarp = warp_vjp(dcoords_cf)[0]
         grads = {"neural_image": dmlp, "warp": dwarp}
 
-        rgb_map = rgb_flat.reshape(B, h, w, 3).transpose(0, 3, 1, 2)
-        outputs = {"rgb_prediction": rgb_flat.reshape(B, h * w, 3), "rgb_prediction_map": rgb_map}
+        rgb_map = rgb_cf.reshape(3, B, h, w).transpose(1, 0, 2, 3)
+        outputs = {
+            "rgb_prediction": rgb_map.transpose(0, 2, 3, 1).reshape(B, h * w, 3),
+            "rgb_prediction_map": rgb_map,
+        }
         if cfg.use_edges:
             outputs["edge_prediction"] = compute_edges(rgb_map, differentiable=False)
             edge_loss = mse(outputs["edge_prediction"], data["edges"], data.get("masks_eroded"))

@@ -102,13 +102,23 @@ class PlanarConfig:
         """Build from a parsed options AttrDict (reference yaml key layout)."""
         lw = opt.get("loss_weight", {})
         tpu_opts = opt.get("tpu", {})
+
+        def tristate(key: str) -> str:
+            # the config DSL yaml-parses `--tpu.x=on` to bool True; normalize
+            # {True: on, False: off, str: lowercased} so CLI overrides work
+            v = tpu_opts.get(key, "auto")
+            if v is True:
+                return "on"
+            if v is False:
+                return "off"
+            return str(v).lower()
         arch = NeuralImageConfig(
             layers=tuple(opt.arch.layers),
             skip=tuple(opt.arch.get("skip", []) or []),
             posenc_L=(opt.arch.posenc.L_2D if opt.arch.get("posenc") else None),
             barf_c2f=(tuple(opt.barf_c2f) if opt.get("barf_c2f") else None),
             compute_dtype=str(tpu_opts.get("compute_dtype", "float32")),
-            fused=str(tpu_opts.get("fused_mlp", "auto")),
+            fused=tristate("fused_mlp"),
         )
         return cls(
             H=opt.H,
@@ -127,7 +137,7 @@ class PlanarConfig:
             alpha_final=float(opt.get("alpha_final", 1.0)),
             differentiable_edges=bool(tpu_opts.get("differentiable_edges", False)),
             mask_quantize_levels=int(tpu_opts.get("mask_quantize_levels", 1)),
-            fused_step=str(tpu_opts.get("fused_step", "auto")),
+            fused_step=tristate("fused_step"),
             warp_type=opt.warp.type,
             warp_dof=opt.warp.dof,
             fix_first=bool(opt.warp.get("fix_first", True)),
@@ -147,14 +157,18 @@ def use_fused_step(cfg: PlanarConfig) -> bool:
 
     if cfg.fused_step == "off" or cfg.use_implicit_mask or cfg.w_render is None:
         return False
+    if cfg.differentiable_edges:
+        # the kernel's analytic cotangent covers the masked rgb MSE only;
+        # the fix-mode differentiable edge term needs autodiff
+        return False
     if not fused_step_supported(cfg.arch) or _use_fused(cfg.arch):
         return False
     if cfg.fused_step == "on":
         return True
-    # 'auto': the flat channels-first XLA path currently wins (142 vs 134
-    # steps/s on v5e) — the kernel is VPU-bound on lane-padded posenc tiles
-    # (PERF.md); keep it opt-in until that is fixed.
-    return False
+    # 'auto': ON for TPU — the v4 channels-first fused kernel measures 422
+    # steps/s vs 142 for the XLA path on the canonical v5e workload (PERF.md).
+    # Off-TPU the kernel would run in interpreter mode; keep the XLA path.
+    return jax.default_backend() == "tpu"
 
 
 def init_graph_params(key: jax.Array, cfg: PlanarConfig, dtype=jnp.float32) -> dict:

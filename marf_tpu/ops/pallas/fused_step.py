@@ -1,64 +1,91 @@
-"""Single-pass fused train kernel: MLP forward + masked-MSE loss + full
-backward (dW/db/denc) in one Pallas kernel over pre-encoded points.
+"""Single-pass fused train kernel v4: posenc + MLP forward + masked-MSE loss
++ full backward (dW/db/dcoords) in ONE channels-first Pallas kernel.
 
 This is the north-star kernel (BASELINE.json): the planar step's gradient
 structure is known analytically — the edge term is gradient-blocked
 (SURVEY.md §2.4(1)) and the masked rgb MSE has cotangent
 d loss_rgb / d rgb = 2 * (rgb - target) * mask / (sum(mask) * 3), scaled by
-the step-dependent coefficient C = 10^w_render * (1 - alpha) + 10^w_rgb.
-So instead of autodiff re-tracing the MLP (which costs a forward recompute in
-the backward kernel), ONE kernel pass computes rgb, the loss partials, and
-all weight gradients: 267 GFLOP total instead of 356, zero HBM activation
-traffic.
+the step-dependent coefficient C = 10^w_render * (1 - alpha) + 10^w_rgb
+(reference model/planar.py:359-390). So instead of autodiff re-tracing the
+MLP, ONE kernel pass computes rgb, the loss partials, and all gradients:
+~267 GFLOP, with only the [2, N] coords / [3, N] targets / [1, N] masks /
+[2, N] dcoords crossing HBM (~17 MB/step vs the 4.4 GB/step of the XLA
+autodiff path).
 
-Division of labor (v2): posenc and the warp chain stay in XLA — in-kernel
-posenc ran on 8-to-34-of-128 lane-padded VPU tiles and dominated the kernel
-(~2.5 ms/step measured); XLA computes the [N, 34] encoding in ~0.3 ms and
-its VJP via jax.vjp. The kernel is a pure dense stack.
+v4 design notes (each earlier variant was measured; PERF.md):
+- CHANNELS-FIRST throughout: every tensor keeps the huge point axis in
+  vector lanes ([C, SUB] tiles). v2 kept posenc in XLA row-major and paid
+  ~2.3 ms/step of lane-padded [N, 34] elementwise fusions + ~1.5 ms of
+  [34,N]<->[N,34] transpose copies; in-kernel cf posenc replaces all of it
+  with VPU work on full-lane tiles, overlapped with the MXU.
+- ONE large row-stream per grid step (SUB=2000 lanes): the per-matmul MXU
+  pipeline bubble is a fixed cost, so large tiles amortize it — measured
+  in-kernel rate went 32 TF/s (4x512-row streams, v2) -> ~138 TF/s (1x2048).
+- The encoding lives in an 8-row-aligned layout: rows 0-7 = [x, y, 0*6],
+  then [sin(x f_k) * w_k], [cos(x f_k) * w_k], [sin(y f_k) * w_k],
+  [cos(y f_k) * w_k] blocks of L=8 rows each. The first-layer weight matrix
+  is row-permuted/zero-padded to match in XLA (tiny [34,256] work); dW1 is
+  sliced back. c2f band weights w_k arrive as a [L, 1] operand (traced
+  function of progress, reference model/planar.py:461-470).
+- dcoords is computed in-kernel by the analytic posenc VJP
+  (d sin(xf)w = w f cos(xf), etc.); only the warp chain's VJP
+  (dcoords -> dwarp, a tiny [B,8] contraction) stays in XLA.
 
-MXU latency hiding: dependent matmul chains run at ~32 TF/s on this chip
-(measured); interleaving S independent row-streams per grid step recovers
-throughput (2 streams ~2.3x, 4 streams ~3.8x measured). All layer-k matmuls
-of the S streams are emitted adjacently.
+Weight layouts: the kernel receives both W^T ([out,in], forward f(x)=W^T@x
+in cf) and W ([in,out], backward dx=W@dz) per layer — 2x256KB/layer of VMEM
+buys transpose-free matmuls in both directions. dW accumulates as [out,in]
+in f32 scratch across grid steps and is transposed once in XLA.
 """
 
 from __future__ import annotations
 
 import functools
+import os
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from marf_tpu.ops.pallas.fused_mlp import _interpret, _pad_rows, _round_up
+from marf_tpu.ops.pallas.fused_mlp import _interpret
 
-SUB = 512  # rows per stream
-N_STREAMS = 4
-TILE = SUB * N_STREAMS  # rows per grid step
-_VMEM_LIMIT = 110 * 1024 * 1024
+# Points (lanes) per grid step; must be a multiple of 128 (Mosaic lane
+# tiling). The canonical 216,000-point workload pads to 217,088 columns, but
+# only on the tiny [2/3/1, N] streams. Env-overridable for sweeps.
+SUB = int(os.environ.get("MARF_FUSED_SUB", 2048))
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def fused_step_supported(arch_cfg) -> bool:
     return not arch_cfg.skip
 
 
-def _kernel(n_layers, in_dim, cdtype, scalars_ref, enc_ref, tgt_ref, msk_ref, grgb_ref, *refs):
-    """One grid step: S independent row-streams through fwd + loss + bwd.
+def _enc_rows(L: int) -> int:
+    """Rows of the in-kernel encoding: one aligned 8-row block for [x, y],
+    then 4 blocks of L rows (sin/cos per input channel)."""
+    return 8 + 4 * L if L else 8
+
+
+def _kernel(n_layers, L, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_ref, *refs):
+    """One grid step: posenc -> MLP fwd -> loss partials -> full bwd, cf.
 
     scalars_ref (SMEM [2]): [0] = d_total/d_rgb scale (2 * C / (sum(m)*3)),
     [1] = loss-partial scale (1 / (sum(m)*3)).
+    cw_ref (VMEM [max(L,1), 1]): c2f band weights (ones when c2f is off).
     """
-    w_refs = refs[:n_layers]
-    b_refs = refs[n_layers : 2 * n_layers]
-    rgb_ref = refs[2 * n_layers]
-    denc_ref = refs[2 * n_layers + 1]
-    loss_ref = refs[2 * n_layers + 2]  # [1, 1]
-    out_dw = refs[2 * n_layers + 3 : 3 * n_layers + 3]
-    out_db = refs[3 * n_layers + 3 : 4 * n_layers + 3]
-    acc_dw = refs[4 * n_layers + 3 : 5 * n_layers + 3]
-    acc_db = refs[5 * n_layers + 3 : 6 * n_layers + 3]
-    loss_acc = refs[6 * n_layers + 3]  # SMEM [1]
+    wt_refs = refs[:n_layers]  # W^T [out, in] (forward)
+    w_refs = refs[n_layers : 2 * n_layers]  # W [in, out] (backward dx)
+    b_refs = refs[2 * n_layers : 3 * n_layers]  # [out, 1]
+    rgb_ref = refs[3 * n_layers]  # [3, SUB]
+    dcoords_ref = refs[3 * n_layers + 1]  # [2, SUB]
+    loss_ref = refs[3 * n_layers + 2]  # [1, 1]
+    out_dw = refs[3 * n_layers + 3 : 4 * n_layers + 3]  # [out, in]
+    out_db = refs[4 * n_layers + 3 : 5 * n_layers + 3]  # [out, 1]
+    acc_dw = refs[5 * n_layers + 3 : 6 * n_layers + 3]
+    acc_db = refs[6 * n_layers + 3 : 7 * n_layers + 3]
+    loss_acc = refs[7 * n_layers + 3]  # SMEM [1]
 
     step = pl.program_id(0)
 
@@ -72,53 +99,75 @@ def _kernel(n_layers, in_dim, cdtype, scalars_ref, enc_ref, tgt_ref, msk_ref, gr
     dscale = scalars_ref[0]
     lscale = scalars_ref[1]
 
-    # ---- forward: S streams, layer-major interleave (independent matmuls
-    # back to back keep the MXU pipeline full)
-    acts = [[enc_ref[pl.ds(s * SUB, SUB), :].astype(cdtype)] for s in range(N_STREAMS)]
+    x = coords_ref[0:1, :]  # [1, SUB]
+    y = coords_ref[1:2, :]
+    zeros6 = jnp.zeros((6, x.shape[-1]), dtype=jnp.float32)
+    xy_blk = jnp.concatenate([x, y, zeros6], axis=0)  # [8, SUB]
+
+    if L:
+        k = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).astype(jnp.float32)
+        freq = jnp.exp2(k) * np.float32(np.pi)  # [L, 1] = 2^k * pi
+        cw = cw_ref[:]  # [L, 1]
+        spec_x = x * freq  # [L, SUB] (sublane-broadcast of x)
+        spec_y = y * freq
+        sin_x, cos_x = jnp.sin(spec_x) * cw, jnp.cos(spec_x) * cw
+        sin_y, cos_y = jnp.sin(spec_y) * cw, jnp.cos(spec_y) * cw
+        enc = jnp.concatenate([xy_blk, sin_x, cos_x, sin_y, cos_y], axis=0)
+    else:
+        enc = xy_blk
+
+    # ---- forward (cf): h_{l+1} = relu(W^T @ h_l + b)
+    acts = [enc.astype(cdtype)]
     for li in range(n_layers):
-        for s in range(N_STREAMS):
-            z = (
-                jnp.dot(acts[s][li], w_refs[li][:], preferred_element_type=jnp.float32)
-                + b_refs[li][:]
-            )
-            if li != n_layers - 1:
-                acts[s].append(jax.nn.relu(z).astype(cdtype))
-            else:
-                acts[s].append(jax.nn.sigmoid(z))  # f32 rgb [SUB, out]
-
-    # ---- loss partials + output cotangent
-    d_s = []
-    partial = 0.0
-    for s in range(N_STREAMS):
-        rgb = acts[s][n_layers]
-        sl = pl.ds(s * SUB, SUB)
-        rgb_ref[sl, :] = rgb
-        diff_m = (rgb - tgt_ref[sl, :]) * msk_ref[sl, :]
-        partial += jnp.sum(diff_m * diff_m)
-        d_out = dscale * diff_m * msk_ref[sl, :] + grgb_ref[sl, :]
-        # chain through sigmoid: d z = d_out * rgb * (1 - rgb)
-        d_s.append((d_out * rgb * (1.0 - rgb)).astype(cdtype))
-    loss_acc[0] += partial * lscale
-
-    # ---- backward: layer-major interleave down the stack
-    for li in range(n_layers - 1, -1, -1):
-        for s in range(N_STREAMS):
-            a = acts[s][li]
-            acc_dw[li][:] += jax.lax.dot_general(
-                a, d_s[s], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            acc_db[li][:] += jnp.sum(d_s[s].astype(jnp.float32), axis=0, keepdims=True)
-        new_d = []
-        for s in range(N_STREAMS):
-            da = jax.lax.dot_general(
-                d_s[s], w_refs[li][:], (((1,), (1,)), ((), ())),
+        z = (
+            jax.lax.dot_general(
+                wt_refs[li][:], acts[li], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if li > 0:
-                new_d.append((da * (acts[s][li].astype(jnp.float32) > 0.0)).astype(cdtype))
-            else:
-                denc_ref[pl.ds(s * SUB, SUB), :] = da
-        d_s = new_d
+            + b_refs[li][:]
+        )
+        if li != n_layers - 1:
+            acts.append(jax.nn.relu(z).astype(cdtype))
+        else:
+            acts.append(jax.nn.sigmoid(z))  # f32 rgb [3, SUB]
+
+    # ---- loss partials + output cotangent
+    rgb = acts[n_layers]
+    rgb_ref[:] = rgb
+    msk = msk_ref[:]
+    diff_m = (rgb - tgt_ref[:]) * msk
+    loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
+    d_out = dscale * diff_m * msk
+    d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)  # chain through sigmoid
+
+    # ---- backward (cf): dW = dz @ h^T (contract lanes, K=SUB — ideal MXU
+    # shape); dx = W @ dz; relu mask from the saved activations
+    for li in range(n_layers - 1, -1, -1):
+        a = acts[li]
+        acc_dw[li][:] += jax.lax.dot_general(
+            d, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
+        da = jax.lax.dot_general(
+            w_refs[li][:], d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if li > 0:
+            d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
+        else:
+            denc = da  # [enc_rows, SUB]
+
+    # ---- analytic posenc VJP: dcoord = denc_xy + sum_k f_k * (cos*w (.) dsin
+    # - sin*w (.) dcos)  — the sin/cos tiles already carry the c2f weight
+    dx = denc[0:1, :]
+    dy = denc[1:2, :]
+    if L:
+        dsin_x = denc[8 : 8 + L, :]
+        dcos_x = denc[8 + L : 8 + 2 * L, :]
+        dsin_y = denc[8 + 2 * L : 8 + 3 * L, :]
+        dcos_y = denc[8 + 3 * L : 8 + 4 * L, :]
+        dx = dx + jnp.sum(freq * (cos_x * dsin_x - sin_x * dcos_x), axis=0, keepdims=True)
+        dy = dy + jnp.sum(freq * (cos_y * dsin_y - sin_y * dcos_y), axis=0, keepdims=True)
+    dcoords_ref[:] = jnp.concatenate([dx, dy], axis=0)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _writeout():
@@ -128,85 +177,118 @@ def _kernel(n_layers, in_dim, cdtype, scalars_ref, enc_ref, tgt_ref, msk_ref, gr
         loss_ref[:] = jnp.full((1, 1), loss_acc[0], dtype=jnp.float32)
 
 
-def fused_train_kernel(params, enc, targets, masks, g_loss_scale, inv_sum3, arch_cfg):
-    """Run the fused fwd+loss+bwd dense-stack kernel.
+def _expand_w1(w1: jax.Array, L: int) -> jax.Array:
+    """[2+4L, out] reference-ordered first-layer weights -> the kernel's
+    8-row-aligned encoding layout [8+4L, out] (zero rows 2-7)."""
+    if not L:
+        pad = jnp.zeros((6, w1.shape[1]), dtype=w1.dtype)
+        return jnp.concatenate([w1, pad], axis=0)
+    return jnp.concatenate(
+        [w1[:2], jnp.zeros((6, w1.shape[1]), dtype=w1.dtype), w1[2:]], axis=0
+    )
+
+
+def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale, inv_sum3, arch_cfg):
+    """Run the fused posenc+fwd+loss+bwd kernel, channels-first.
 
     Args:
-      params: MLP pytree (f32 master weights).
-      enc: [N, input_dim] encoded points (posenc+c2f+concat done in XLA).
-      targets: [N, 3] flat target rgb.
-      masks: [N, 1] flat binary mask (ones when masks are off).
+      params: MLP pytree (f32 master weights, w [in, out]).
+      coords_cf: [2, N] warped coordinates (N divisible by 8; padded here to
+        a SUB multiple if needed).
+      cw: [L] c2f band weights (traced function of progress), or None when
+        posenc/c2f are off.
+      targets_cf: [3, N] flat target rgb.
+      masks_cf: [1, N] flat binary mask (ones when masks are off).
       g_loss_scale: scalar — d total_loss / d rgb_loss (analytic cotangent).
       inv_sum3: scalar — 1 / (sum(mask) * 3) (reference masked-MSE
         normalization, model/planar.py:388-390).
       arch_cfg: NeuralImageConfig (static).
 
     Returns:
-      (rgb [N, 3], rgb_loss scalar, dparams pytree, denc [N, input_dim]).
+      (rgb_cf [3, N], rgb_loss scalar, dparams pytree, dcoords_cf [2, N]).
     """
     dims = arch_cfg.layer_dims
     n_layers = len(dims)
-    in_dim = dims[0][0]
+    L = int(arch_cfg.posenc_L or 0)
     cdtype = jnp.dtype(arch_cfg.compute_dtype)
-    N = enc.shape[0]
-    n_padded = _round_up(max(N, TILE), TILE)
-    grid = n_padded // TILE
+    N = coords_cf.shape[1]
+    n_padded = -(-max(N, SUB) // SUB) * SUB
+    grid = n_padded // SUB
     out_dim = dims[-1][1]
 
-    enc_p = _pad_rows(enc, n_padded)
-    targets_p = _pad_rows(targets, n_padded)
-    masks_p = _pad_rows(masks, n_padded)  # zero mask on padding -> no loss/grad pollution
-    grgb = jnp.zeros((n_padded, out_dim), dtype=jnp.float32)
+    def pad_cols(a):
+        if a.shape[1] == n_padded:
+            return a
+        return jnp.pad(a, ((0, 0), (0, n_padded - a.shape[1])))
 
-    weights = [params["mlp"][i]["w"].astype(cdtype) for i in range(n_layers)]
-    biases = [params["mlp"][i]["b"].reshape(1, -1) for i in range(n_layers)]
+    coords_p = pad_cols(coords_cf)
+    targets_p = pad_cols(targets_cf)
+    masks_p = pad_cols(masks_cf)  # zero mask on padding -> no loss/grad pollution
+
+    ws = [params["mlp"][i]["w"] for i in range(n_layers)]
+    ws[0] = _expand_w1(ws[0], L)
+    enc_rows = _enc_rows(L)
+    wts = [w.T.astype(cdtype) for w in ws]  # [out, in] forward
+    ws = [w.astype(cdtype) for w in ws]  # [in, out] backward
+    biases = [params["mlp"][i]["b"].reshape(-1, 1) for i in range(n_layers)]
     scalars = jnp.stack([2.0 * g_loss_scale * inv_sum3, inv_sum3]).astype(jnp.float32)
+    cw_col = (
+        cw.reshape(-1, 1).astype(jnp.float32)
+        if cw is not None
+        else jnp.ones((max(L, 1), 1), dtype=jnp.float32)
+    )
 
-    kernel = functools.partial(_kernel, n_layers, in_dim, cdtype)
+    kernel = functools.partial(_kernel, n_layers, L, cdtype)
     out_shapes = (
         [
-            jax.ShapeDtypeStruct((n_padded, out_dim), jnp.float32),  # rgb
-            jax.ShapeDtypeStruct((n_padded, in_dim), jnp.float32),  # denc
+            jax.ShapeDtypeStruct((out_dim, n_padded), jnp.float32),  # rgb
+            jax.ShapeDtypeStruct((2, n_padded), jnp.float32),  # dcoords
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # rgb_loss
         ]
-        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
-        + [jax.ShapeDtypeStruct((1, b.shape[-1]), jnp.float32) for b in biases]
+        + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in wts]  # dW [out,in]
+        + [jax.ShapeDtypeStruct((b.shape[0], 1), jnp.float32) for b in biases]
     )
     out_specs = (
         [
-            pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, in_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_dim, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in weights]
-        + [pl.BlockSpec((1, b.shape[-1]), lambda i: (0, 0), memory_space=pltpu.VMEM) for b in biases]
+        + [pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for wt in wts]
+        + [pl.BlockSpec((b.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.VMEM) for b in biases]
     )
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [2]
-            pl.BlockSpec((TILE, in_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),  # enc
-            pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),  # targets
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),  # masks
-            pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),  # grgb
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_layers)],
+            pl.BlockSpec((2, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # coords
+            pl.BlockSpec((max(L, 1), 1), lambda i: (0, 0), memory_space=pltpu.VMEM),  # c2f w
+            pl.BlockSpec((out_dim, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # targets
+            pl.BlockSpec((1, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # masks
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3 * n_layers)],
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=(
-            [pltpu.VMEM(w.shape, jnp.float32) for w in weights]
-            + [pltpu.VMEM((1, b.shape[-1]), jnp.float32) for b in biases]
+            [pltpu.VMEM(wt.shape, jnp.float32) for wt in wts]
+            + [pltpu.VMEM((b.shape[0], 1), jnp.float32) for b in biases]
             + [pltpu.SMEM((1,), jnp.float32)]
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(scalars, enc_p, targets_p, masks_p, grgb, *weights, *biases)
+    )(scalars, coords_p, cw_col, targets_p, masks_p, *wts, *ws, *biases)
 
-    rgb = outs[0][:N]
-    denc = outs[1][:N]
+    rgb_cf = outs[0][:, :N]
+    dcoords_cf = outs[1][:, :N]
     rgb_loss = outs[2][0, 0]
     dws = outs[3 : 3 + n_layers]
     dbs = [b.reshape(-1) for b in outs[3 + n_layers :]]
-    dparams = {"mlp": [{"w": dws[i], "b": dbs[i]} for i in range(n_layers)]}
-    return rgb, rgb_loss, dparams, denc
+    # kernel dW is [out, in] in the expanded-enc layout; back to params layout
+    dw1 = dws[0].T  # [enc_rows, out]
+    dw1 = jnp.concatenate([dw1[:2], dw1[8:]], axis=0) if L else dw1[: dims[0][0]]
+    dparams = {
+        "mlp": [{"w": dw1, "b": dbs[0]}]
+        + [{"w": dws[i].T, "b": dbs[i]} for i in range(1, n_layers)]
+    }
+    return rgb_cf, rgb_loss, dparams, dcoords_cf

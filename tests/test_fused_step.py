@@ -79,6 +79,24 @@ def test_fused_step_alpha_schedule(rng):
     )
 
 
+def test_fused_step_no_posenc(rng):
+    """L=0 path: the kernel's encoding block is just the aligned [x, y] rows."""
+    arch = NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=None, fused="off")
+    off, on = cfg_pair(arch=arch)
+    data = fake_data(off, rng)
+    s_off, m_off = run_steps(off, data)
+    s_on, m_on = run_steps(on, data)
+    np.testing.assert_allclose(np.asarray(m_on["all"]), np.asarray(m_off["all"]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s_on.params["warp"]), np.asarray(s_off.params["warp"]), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_on.params["neural_image"]["mlp"][0]["w"]),
+        np.asarray(s_off.params["neural_image"]["mlp"][0]["w"]),
+        rtol=1e-3, atol=1e-6,
+    )
+
+
 def test_fused_step_psnr_metric(rng):
     off, on = cfg_pair()
     data = fake_data(off, rng)
