@@ -29,7 +29,6 @@ WARMUP_CHUNKS = 1
 # experiment knobs (bench defaults stay the faithful config)
 DTYPE = os.environ.get("MARF_BENCH_DTYPE", "float32")
 PRECISION = os.environ.get("MARF_BENCH_PRECISION", "")
-FUSED = os.environ.get("MARF_BENCH_FUSED", "off")
 FUSED_STEP = os.environ.get("MARF_BENCH_FUSED_STEP", "auto")
 
 
@@ -48,7 +47,7 @@ def main():
         fused_step=FUSED_STEP,
         arch=NeuralImageConfig(
             layers=(None, 256, 256, 256, 256, 3), posenc_L=8, barf_c2f=(0, 0.4),
-            compute_dtype=DTYPE, fused=FUSED,
+            compute_dtype=DTYPE,
         ),
     )
     try:

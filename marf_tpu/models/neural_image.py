@@ -10,8 +10,9 @@ cosine-annealed by training progress (model/planar.py:462-470).
 TPU-native design: `progress` is a traced scalar input (derived from the step
 counter inside the jitted step) rather than a host-mutated parameter, so one
 compiled program serves the whole schedule; the forward is pure and shape-
-static, so XLA tiles the [B*HW, 256] matmuls onto the MXU. The Pallas-fused
-variant of this forward lives in `marf_tpu.ops.pallas.fused_mlp`.
+static, so XLA tiles the [B*HW, 256] matmuls onto the MXU. The hot training
+path fuses this whole forward (and its backward) into one Pallas kernel,
+`marf_tpu.ops.pallas.fused_step`.
 """
 
 from __future__ import annotations
@@ -45,9 +46,6 @@ class NeuralImageConfig:
     # weights, sigmoid output and the master params stay f32. bfloat16 halves
     # the HBM activation traffic that bounds the backward pass.
     compute_dtype: str = "float32"
-    # Pallas fused posenc+MLP kernel: 'auto' (on TPU, when supported),
-    # 'on' (always; interpreter off-TPU), 'off' (plain XLA path).
-    fused: str = "auto"
 
     @property
     def input_dim(self) -> int:
@@ -139,19 +137,6 @@ def apply_neural_image_cf(
     return jax.nn.sigmoid(feat.astype(jnp.float32))
 
 
-def _use_fused(cfg: NeuralImageConfig) -> bool:
-    from marf_tpu.ops.pallas.fused_mlp import fused_mlp_supported
-
-    if cfg.fused == "off" or not fused_mlp_supported(cfg):
-        return False
-    if cfg.fused == "on":
-        return True
-    # 'auto': the channels-first XLA path currently beats the fused kernel on
-    # this workload (the kernel matches baseline; see bench history) — prefer
-    # XLA-cf until the kernel wins.
-    return False
-
-
 def apply_neural_image(
     params: dict,
     coord: jax.Array,
@@ -159,21 +144,9 @@ def apply_neural_image(
     progress: jax.Array | None = None,
 ) -> jax.Array:
     """Forward: [..., 2] coords -> [..., 3] rgb in (0, 1)
-    (reference model/planar.py:429-449). Dispatches to the Pallas fused
-    kernel (ops/pallas/fused_mlp.py) when enabled/supported."""
-    if _use_fused(cfg):
-        from marf_tpu.ops.pallas.fused_mlp import fused_neural_image
-
-        L = cfg.posenc_L or 0
-        if L and cfg.barf_c2f is not None:
-            assert progress is not None
-            cw = barf_c2f_weights(progress, tuple(cfg.barf_c2f), L)
-        else:
-            cw = jnp.ones((max(L, 1),), dtype=jnp.float32)
-        lead = coord.shape[:-1]
-        flat = coord.reshape(-1, coord.shape[-1])
-        out = fused_neural_image(params, flat, cw, cfg)
-        return out.reshape(lead + (out.shape[-1],))
+    (reference model/planar.py:429-449). Row-major reference path: the
+    torch-oracle-tested layout (tests/test_models.py); the hot training path
+    is `apply_neural_image_cf` / the fused train kernel."""
     points_enc = encode_coords(coord, cfg, progress)
     dtype = jnp.dtype(cfg.compute_dtype)
     points_enc = points_enc.astype(dtype)

@@ -26,15 +26,13 @@ from marf_tpu.models.implicit_mask import (
 )
 from marf_tpu.models.neural_image import (
     NeuralImageConfig,
-    _use_fused,
-    apply_neural_image,
     apply_neural_image_cf,
     init_neural_image,
 )
 from marf_tpu.ops.filters import compute_edges
 from marf_tpu.ops.grid import GridSpec, normalized_pixel_grid
 from marf_tpu.ops.losses import alpha_schedule, mask_counterweight, mse, render_loss
-from marf_tpu.ops.warp import warp_grid, warp_grid_cf_flat
+from marf_tpu.ops.warp import warp_grid_cf_flat
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,7 +116,6 @@ class PlanarConfig:
             posenc_L=(opt.arch.posenc.L_2D if opt.arch.get("posenc") else None),
             barf_c2f=(tuple(opt.barf_c2f) if opt.get("barf_c2f") else None),
             compute_dtype=str(tpu_opts.get("compute_dtype", "float32")),
-            fused=tristate("fused_mlp"),
         )
         return cls(
             H=opt.H,
@@ -161,7 +158,7 @@ def use_fused_step(cfg: PlanarConfig) -> bool:
         # the kernel's analytic cotangent covers the masked rgb MSE only;
         # the fix-mode differentiable edge term needs autodiff
         return False
-    if not fused_step_supported(cfg.arch) or _use_fused(cfg.arch):
+    if not fused_step_supported(cfg.arch):
         return False
     if cfg.fused_step == "on":
         return True
@@ -209,19 +206,13 @@ def graph_forward(params: dict, data: dict, cfg: PlanarConfig, progress: jax.Arr
     h, w = cfg.map_hw
     B = cfg.batch_size
     xy_grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)  # [HW, 2]
-    if _use_fused(cfg.arch):
-        # Pallas fused kernel path (row-major [N, 2] points)
-        xy_grid_warped = warp_grid(xy_grid, params["warp"])  # [B, HW, 2]
-        rgb = apply_neural_image(params["neural_image"], xy_grid_warped, cfg.arch, progress)
-        rgb_map = rgb.reshape(B, h, w, 3).transpose(0, 3, 1, 2)  # [B, 3, h, w]
-    else:
-        # flat channels-first XLA path: [C, B*HW] — pixel axis in lanes end
-        # to end, batch folded into pixels so the backward's dW contractions
-        # are transpose-free; only the tiny 3-channel outputs get transposed
-        warped_flat = warp_grid_cf_flat(xy_grid, params["warp"])  # [2, B*HW]
-        rgb_flat = apply_neural_image_cf(params["neural_image"], warped_flat, cfg.arch, progress)
-        rgb_map = rgb_flat.reshape(3, B, h, w).transpose(1, 0, 2, 3)  # [B, 3, h, w]
-        rgb = rgb_flat.reshape(3, B, h * w).transpose(1, 2, 0)  # [B, HW, 3]
+    # flat channels-first XLA path: [C, B*HW] — pixel axis in lanes end
+    # to end, batch folded into pixels so the backward's dW contractions
+    # are transpose-free; only the tiny 3-channel outputs get transposed
+    warped_flat = warp_grid_cf_flat(xy_grid, params["warp"])  # [2, B*HW]
+    rgb_flat = apply_neural_image_cf(params["neural_image"], warped_flat, cfg.arch, progress)
+    rgb_map = rgb_flat.reshape(3, B, h, w).transpose(1, 0, 2, 3)  # [B, 3, h, w]
+    rgb = rgb_flat.reshape(3, B, h * w).transpose(1, 2, 0)  # [B, HW, 3]
     out = {"rgb_prediction": rgb, "rgb_prediction_map": rgb_map}
     if cfg.use_edges:
         # In-graph replacement for the reference's per-iteration host cv2

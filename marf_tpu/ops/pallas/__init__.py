@@ -1,3 +1,3 @@
-"""Pallas TPU kernels: fused hot-path ops."""
+"""Pallas TPU kernels: the fused single-pass train step (fwd+loss+bwd)."""
 
-from marf_tpu.ops.pallas.fused_mlp import fused_neural_image, fused_mlp_supported
+from marf_tpu.ops.pallas.fused_step import fused_train_kernel, fused_step_supported

@@ -49,13 +49,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from marf_tpu.ops.pallas.fused_mlp import _interpret
-
 # Points (lanes) per grid step; must be a multiple of 128 (Mosaic lane
 # tiling). The canonical 216,000-point workload pads to 217,088 columns, but
 # only on the tiny [2/3/1, N] streams. Env-overridable for sweeps.
 SUB = int(os.environ.get("MARF_FUSED_SUB", 2048))
 _VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU (CI / CPU tests)."""
+    return jax.default_backend() != "tpu"
 
 
 def fused_step_supported(arch_cfg) -> bool:

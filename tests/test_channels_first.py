@@ -33,7 +33,7 @@ def test_warp_cf_matches_rm(rng):
 
 def test_apply_cf_matches_rm(rng):
     for skip in ((), (1,)):
-        cfg = NeuralImageConfig(layers=(None, 32, 32, 3), skip=skip, posenc_L=4, barf_c2f=(0, 0.4), fused="off")
+        cfg = NeuralImageConfig(layers=(None, 32, 32, 3), skip=skip, posenc_L=4, barf_c2f=(0, 0.4))
         params = init_neural_image(jax.random.PRNGKey(0), cfg)
         coords = jnp.asarray((rng.rand(3, 120, 2) * 2 - 1).astype(np.float32))
         progress = jnp.float32(0.2)
@@ -43,7 +43,7 @@ def test_apply_cf_matches_rm(rng):
 
 
 def test_apply_cf_grad_matches_rm(rng):
-    cfg = NeuralImageConfig(layers=(None, 16, 3), posenc_L=4, barf_c2f=(0, 0.4), fused="off")
+    cfg = NeuralImageConfig(layers=(None, 16, 3), posenc_L=4, barf_c2f=(0, 0.4))
     params = init_neural_image(jax.random.PRNGKey(0), cfg)
     coords = jnp.asarray((rng.rand(200, 2) * 2 - 1).astype(np.float32))
     p = jnp.float32(0.3)
@@ -54,18 +54,25 @@ def test_apply_cf_grad_matches_rm(rng):
 
 
 def test_graph_forward_uses_cf_and_matches(rng):
-    """graph_forward (cf default) gives the same maps as the fused/rm layout."""
-    import dataclasses
-
-    from marf_tpu.models.planar import PlanarConfig, graph_forward, init_graph_params
+    """graph_forward (cf layout) gives the same maps as a manual row-major
+    warp+MLP oracle (the torch-oracle-tested reference layout)."""
+    from marf_tpu.models.planar import graph_forward, init_graph_params
+    from marf_tpu.ops.grid import normalized_pixel_grid
+    from marf_tpu.ops.warp import warp_grid
     from tests.test_models import fake_data, small_cfg
 
-    cfg = small_cfg()  # fused defaults to 'auto' -> cf path
+    cfg = small_cfg()
     params = init_graph_params(jax.random.PRNGKey(0), cfg)
     data = fake_data(cfg, rng)
     out_cf = graph_forward(params, data, cfg, jnp.float32(0.1))
-    cfg_rm = dataclasses.replace(cfg, arch=dataclasses.replace(cfg.arch, fused="on"))
-    out_rm = graph_forward(params, data, cfg_rm, jnp.float32(0.1))
+    grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+    warped = warp_grid(grid, params["warp"])  # [B, HW, 2]
+    rgb_rm = apply_neural_image(params["neural_image"], warped, cfg.arch, jnp.float32(0.1))
+    h, w = cfg.map_hw
+    out_rm = {
+        "rgb_prediction": rgb_rm,
+        "rgb_prediction_map": rgb_rm.reshape(cfg.batch_size, h, w, 3).transpose(0, 3, 1, 2),
+    }
     np.testing.assert_allclose(
         np.asarray(out_cf["rgb_prediction_map"]), np.asarray(out_rm["rgb_prediction_map"]),
         rtol=1e-5, atol=1e-5,

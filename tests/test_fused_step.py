@@ -19,7 +19,7 @@ OPTIM = {"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": "Adam"}
 def cfg_pair(**kw):
     base = dict(
         H=32, W=64, patch_H=16, patch_W=32, batch_size=3, max_iter=100,
-        arch=NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4), fused="off"),
+        arch=NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4)),
     )
     base.update(kw)
     off = PlanarConfig(**base, fused_step="off")
@@ -81,7 +81,7 @@ def test_fused_step_alpha_schedule(rng):
 
 def test_fused_step_no_posenc(rng):
     """L=0 path: the kernel's encoding block is just the aligned [x, y] rows."""
-    arch = NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=None, fused="off")
+    arch = NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=None)
     off, on = cfg_pair(arch=arch)
     data = fake_data(off, rng)
     s_off, m_off = run_steps(off, data)
