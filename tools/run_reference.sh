@@ -14,5 +14,5 @@ ln -sfn /root/reference/options "$WORKDIR/options"
 ln -sfn /root/reference/model "$WORKDIR/model"
 cd "$WORKDIR"
 export PYTHONPATH="/root/reference:/root/repo/tools/refshims"
-export OMP_NUM_THREADS=8
+export OMP_NUM_THREADS=${OMP_NUM_THREADS:-$(nproc)}
 exec python3 /root/reference/train.py "$@"
