@@ -48,6 +48,29 @@ class Model:
     def __init__(self, opt):
         self.opt = opt
         self.cfg = PlanarConfig.from_options(opt)
+        self.mesh = None
+        self.data_axis = None
+        n_dev = self._resolve_n_devices()
+        if n_dev > 1:
+            from marf_tpu.parallel.mesh import choose_pixel_axis, make_mesh
+
+            self.mesh = make_mesh(n_dev)
+            h, w = self.cfg.map_hw
+            self.data_axis = choose_pixel_axis(h, w, n_dev)
+            if self.data_axis is None:
+                log.warn(
+                    f"neither patch dim ({h}x{w}) divides the {n_dev}-device mesh; "
+                    "data stays replicated (single-chip arithmetic on every chip)"
+                )
+            from marf_tpu.models.planar import use_fused_step
+
+            if use_fused_step(self.cfg):
+                # the Pallas kernel is a single-chip program; under a mesh the
+                # XLA path is GSPMD-partitioned instead (parallel/mesh.py docstring)
+                import dataclasses
+
+                log.info(f"multi-chip mesh ({n_dev} devices): using the GSPMD-partitioned XLA step")
+                self.cfg = dataclasses.replace(self.cfg, fused_step="off")
         self.batch_size = self.cfg.batch_size
         self.dataset = opt.get("dataset")
         os.makedirs(opt.output_path, exist_ok=True)
@@ -66,6 +89,27 @@ class Model:
         self._chunks = {}
         self._forward_jit = None
         self._render_jit = None
+
+    def _resolve_n_devices(self) -> int:
+        """Mesh size: env MARF_DEVICES > --tpu.n_devices > 'auto'.
+
+        'auto' uses every chip on a multi-chip TPU platform (a v5e pod slice
+        trains data-parallel out of the box) and stays single-device on CPU —
+        the 8-virtual-device test mesh opts in explicitly (tests/test_parallel.py).
+        The reference is single-device by construction (reference options.py:117-118).
+        """
+        raw = os.environ.get("MARF_DEVICES")
+        if raw is None:
+            raw = (self.opt.get("tpu") or {}).get("n_devices", "auto")
+        if raw in (None, "", "auto"):
+            return len(jax.devices()) if jax.default_backend() == "tpu" else 1
+        n = int(raw)
+        avail = len(jax.devices())
+        if not 1 <= n <= avail:
+            # clamp rather than raise: dying right after TPU-client init can
+            # wedge the remote chip (see CLAUDE.md TPU tunnel rules)
+            log.warn(f"--tpu.n_devices={n} but {avail} device(s) visible; using {min(max(n, 1), avail)}")
+        return min(max(n, 1), avail)
 
     # ---------------------------------------------------------------- phases
 
@@ -87,7 +131,12 @@ class Model:
             )
         if raw.get("gt_hom") is None:
             self.use_homographies = False
-        self.data = device_put_dataset(raw)
+        if self.mesh is not None:
+            from marf_tpu.parallel.mesh import shard_planar_data
+
+            self.data = shard_planar_data(raw, self.mesh, self.data_axis)
+        else:
+            self.data = device_put_dataset(raw)
 
     def build_networks(self):
         """Phase 2: init params (reference model/planar.py:81-84)."""
@@ -113,6 +162,12 @@ class Model:
             log.info(f"restoring checkpoint from {restore}")
             self.state = ckpt_lib.restore_checkpoint(restore, self.state)
             self.it = int(self.state.step)
+        if self.mesh is not None:
+            from marf_tpu.parallel.mesh import replicate
+
+            # params + optimizer state replicated over the mesh; gradients
+            # all-reduce over ICI (GSPMD inserts the collectives)
+            self.state = jax.device_put(self.state, replicate(self.mesh))
 
     def setup_visualizer(self):
         """Phase 4: TB writer, vis dir, border colors (reference model/planar.py:106-134)."""
@@ -148,7 +203,15 @@ class Model:
             if not cfg.build_single_masks:
                 # shared head consumes the flat [426, B*HW] layout
                 inputs_cf = inputs_cf.transpose(1, 0, 2).reshape(inputs_cf.shape[1], -1)
-            self.data["mask_head_inputs_cf"] = jax.device_put(inputs_cf)
+            if self.mesh is not None:
+                from marf_tpu.parallel.mesh import replicate
+
+                # replicated (correctness-first: the flat pixel axis interleaves
+                # batch elements, so spatial sharding doesn't transfer 1:1)
+                inputs_cf = jax.device_put(inputs_cf, replicate(self.mesh))
+                self.data["mask_head_inputs_cf"] = inputs_cf
+            else:
+                self.data["mask_head_inputs_cf"] = jax.device_put(inputs_cf)
         self._step_fn = make_train_step(cfg, self.tx, use_homographies=self.use_homographies)
 
         def forward(params, data, progress):

@@ -15,6 +15,7 @@ this is the annotate-and-let-XLA-partition recipe.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -79,7 +80,9 @@ def shard_planar_data(data: dict, mesh: Mesh, axis: int | None) -> dict:
     for key, value in data.items():
         if value is None:
             out[key] = None
-        elif key in ("rgb", "masks", "masks_eroded", "gray", "edges") and value.ndim == 4:
+            continue
+        value = jnp.asarray(value, dtype=jnp.float32)
+        if key in ("rgb", "masks", "masks_eroded", "gray", "edges") and value.ndim == 4:
             out[key] = jax.device_put(value, spatial)
         else:
             out[key] = jax.device_put(value, repl)

@@ -105,6 +105,39 @@ def test_sharded_full_training_progress(rng):
     assert int(s.step) == 30
 
 
+def test_trainer_multichip_equals_single_device(tmp_path):
+    """The user-facing path (VERDICT round-1 item 4): `--tpu.n_devices=8` (or
+    MARF_DEVICES=8) routes the full trainer through the mesh — sharded data,
+    replicated state, GSPMD step — and the training curves equal the
+    single-device run."""
+    from tests.test_train_integration import make_opt, run_lifecycle
+
+    # H=96/W=128 -> patch 48x64: height axis divides the 8-device mesh
+    m1 = run_lifecycle(
+        make_opt(tmp_path, name="single", max_iter=40, output_path=str(tmp_path / "single"))
+    )
+    opt8 = make_opt(tmp_path, name="mesh8", max_iter=40, output_path=str(tmp_path / "mesh8"))
+    opt8.tpu.n_devices = 8
+    m8 = run_lifecycle(opt8)
+
+    assert m8.mesh is not None and m8.mesh.devices.size == 8
+    assert not m8.data["rgb"].sharding.is_fully_replicated
+    np.testing.assert_allclose(
+        np.asarray(m8.state.params["warp"]), np.asarray(m1.state.params["warp"]),
+        rtol=2e-4, atol=2e-6,
+    )
+    import sys
+
+    sys.path.insert(0, "tools")
+    from compare_runs import compare, load_scalars
+
+    report = compare(load_scalars(m1.opt.output_path), load_scalars(m8.opt.output_path))
+    assert report, "no TB curves found to compare"
+    for tag, row in report.items():
+        assert row["status"] == "ok", (tag, row)
+        assert row["max_abs_diff"] < 2e-3, (tag, row)
+
+
 def test_2d_mesh_batch_x_pixel(rng):
     """2-axis ('batch','data') mesh: B sharded over 2 devices, pixel rows
     over 4 — numerically equal to single-device."""
