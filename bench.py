@@ -11,11 +11,26 @@ iterations). Prints ONE JSON line:
 (see BASELINE_MEASURED.md; the >=10x north-star == vs_baseline >= 10).
 The `extra` field carries the convergence metrics of the timed run (final
 PSNR / homography error) so perf is never reported off a diverging config.
+
+The benchmarked program is the trainer's OWN compiled path: the config is
+built from marf_tpu/configs/planar.yaml through `PlanarConfig.from_options`
+and the chunk through `Model._build_compiled` — exactly what
+`python train.py` runs, so bench.py cannot drift from the user surface.
+
+Env knobs (defaults = the faithful canonical config):
+    MARF_BENCH_CASE        canonical | implicit | implicit_single | noposenc
+                           | edges_only (BASELINE.md eval configs)
+    MARF_BENCH_ITERS       total steps (default 3000)
+    MARF_BENCH_SEED        init seed (default 3)
+    MARF_BENCH_DTYPE       float32 | bfloat16 (tpu.compute_dtype)
+    MARF_BENCH_FUSED_STEP  auto | on | off (tpu.fused_step)
+    MARF_BENCH_PRECISION   '' | highest (jax_default_matmul_precision)
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -26,46 +41,76 @@ REF_STEPS_PER_SEC = 30.0  # BASELINE_MEASURED.md
 MAX_ITER = int(os.environ.get("MARF_BENCH_ITERS", 3000))
 CHUNK = 100
 WARMUP_CHUNKS = 1
-# experiment knobs (bench defaults stay the faithful config)
+CASE = os.environ.get("MARF_BENCH_CASE", "canonical")
+SEED = int(os.environ.get("MARF_BENCH_SEED", 3))
 DTYPE = os.environ.get("MARF_BENCH_DTYPE", "float32")
 PRECISION = os.environ.get("MARF_BENCH_PRECISION", "")
 FUSED_STEP = os.environ.get("MARF_BENCH_FUSED_STEP", "auto")
+
+# BASELINE.md evaluation configs (reference script.py case table)
+CASES = {
+    "canonical": {},
+    "edges_only": dict(use_masks=False, alpha_initial=1.0, alpha_final=1.0),
+    "noposenc": dict(_no_posenc=True, _no_c2f=True),
+    "implicit": dict(use_masks=False, use_implicit_mask=True),
+    "implicit_single": dict(use_masks=False, use_implicit_mask=True, build_single_masks=True),
+}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    from marf_tpu.data.planar import device_put_dataset, load_planar_dataset, synthesize_planar_dataset
-    from marf_tpu.engine.step import init_train_state, make_optimizer, make_train_chunk, make_train_step
-    from marf_tpu.models.planar import PlanarConfig, init_graph_params
-    from marf_tpu.models.neural_image import NeuralImageConfig
+def build_model():
+    from marf_tpu.engine.trainer import Model
+    from marf_tpu.utils.attrdict import AttrDict
+    from marf_tpu.utils.config import load_options, resolve_yaml_path
 
-    cfg = PlanarConfig(
-        max_iter=MAX_ITER,
-        fused_step=FUSED_STEP,
-        arch=NeuralImageConfig(
-            layers=(None, 256, 256, 256, 256, 3), posenc_L=8, barf_c2f=(0, 0.4),
-            compute_dtype=DTYPE,
-        ),
+    overrides = dict(CASES[CASE])
+    no_posenc = overrides.pop("_no_posenc", False)
+    no_c2f = overrides.pop("_no_c2f", False)
+
+    opt = load_options(resolve_yaml_path("planar"))
+    opt.update(
+        AttrDict(
+            model="planar",
+            yaml="planar",
+            group="bench",
+            name=CASE,
+            seed=SEED,
+            max_iter=MAX_ITER,
+            barf_c2f=(None if no_c2f else [0, 0.4]),
+            output_path=tempfile.mkdtemp(prefix="marf_bench_"),
+        )
     )
+    opt.update(AttrDict(overrides))
+    opt.tpu.compute_dtype = DTYPE
+    opt.tpu.fused_step = FUSED_STEP
+    if no_posenc:
+        opt.arch.posenc = False
+
+    m = Model(opt)
     try:
-        raw = load_planar_dataset(cfg, "cat_batch3")
-        dataset = "cat_batch3"
+        m.load_dataset()
+        dataset = m.dataset
     except FileNotFoundError:
-        raw = synthesize_planar_dataset(cfg, seed=3)
+        m.dataset = "synthetic"
+        m.load_dataset()
         dataset = "synthetic"
+    m.build_networks()
+    m.setup_optimizer()
+    m._build_compiled()
+    return m, dataset
+
+
+def main():
     if PRECISION:
         jax.config.update("jax_default_matmul_precision", PRECISION)
-    data = device_put_dataset(raw)
-    log(f"bench dataset: {dataset}, device: {jax.devices()[0]}")
+    m, dataset = build_model()
+    log(f"bench case: {CASE}, dataset: {dataset}, device: {jax.devices()[0]}")
 
-    params = init_graph_params(jax.random.PRNGKey(int(os.environ.get("MARF_BENCH_SEED", 3))), cfg)
-    tx = make_optimizer({"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": "Adam"}, cfg.max_iter)
-    state = init_train_state(params, tx)
-    step_fn = make_train_step(cfg, tx, use_homographies=(raw.get("gt_hom") is not None))
-    chunk = make_train_chunk(step_fn, CHUNK, donate=True)
+    chunk = m._chunk(CHUNK)
+    state, data = m.state, m.data
 
     # warmup: compile + first chunk(s)
     for _ in range(WARMUP_CHUNKS):
@@ -85,19 +130,23 @@ def main():
     log(f"final: PSNR={final.get('PSNR'):.3f} dB, loss={final.get('all'):.5f}, "
         f"hom_err={final.get('Homography_Error', float('nan')):.4f}")
 
+    extra = {
+        "case": CASE,
+        "dataset": dataset,
+        "device": str(jax.devices()[0]),
+        "iters_timed": n_timed,
+        "final_psnr_db": round(final.get("PSNR", float("nan")), 3),
+        "final_homography_error": round(final.get("Homography_Error", float("nan")), 5),
+        "ref_baseline_steps_per_sec": REF_STEPS_PER_SEC,
+    }
+    if "Mask_Error" in final:
+        extra["final_mask_error"] = round(final["Mask_Error"], 5)
     result = {
         "metric": "steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
-        "extra": {
-            "dataset": dataset,
-            "device": str(jax.devices()[0]),
-            "iters_timed": n_timed,
-            "final_psnr_db": round(final.get("PSNR", float("nan")), 3),
-            "final_homography_error": round(final.get("Homography_Error", float("nan")), 5),
-            "ref_baseline_steps_per_sec": REF_STEPS_PER_SEC,
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 
