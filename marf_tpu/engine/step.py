@@ -27,7 +27,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from marf_tpu.models.planar import PlanarConfig, graph_forward, graph_loss, use_fused_step
+from marf_tpu.models.planar import (
+    PlanarConfig,
+    graph_forward,
+    graph_loss,
+    use_fused_implicit,
+    use_fused_step,
+)
 from marf_tpu.ops.lie import sl3_to_SL3
 from marf_tpu.ops.losses import (
     alpha_schedule,
@@ -140,6 +146,7 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
     """
     compute_mask_error = cfg.use_implicit_mask and cfg.use_masks
     fused = use_fused_step(cfg)
+    fused_implicit = use_fused_implicit(cfg)
 
     def _autodiff_grads(state, data, progress, step):
         def loss_fn(params):
@@ -225,12 +232,140 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         total = summarize_loss(loss, cfg.loss_weight)
         return total, loss, outputs, grads
 
+    def _fused_implicit_grads(state, data, progress, step):
+        """Fused kernel pipeline for the implicit-mask configs: mask head
+        forward (factored Pallas kernel, ops/pallas/fused_mask.py) -> rgb via
+        the fused train kernel masked by the predicted m -> elementwise XLA
+        cotangent dL/dm (global masked-MSE normalization,
+        reference model/planar.py:388-390) -> mask head backward kernel."""
+        from marf_tpu.ops.filters import compute_edges
+        from marf_tpu.ops.grid import normalized_pixel_grid
+        from marf_tpu.ops.pallas.fused_mask import (
+            build_mask_x,
+            factor_mask_inputs,
+            fused_mask_backward,
+            fused_mask_forward,
+            mask_w_stack,
+            unfactor_mask_grads,
+        )
+        from marf_tpu.ops.pallas.fused_step import fused_train_kernel
+        from marf_tpu.ops.posenc import barf_c2f_weights
+        from marf_tpu.ops.warp import warp_grid_cf_flat
+
+        params = state.params
+        h, w = cfg.map_hw
+        B = cfg.batch_size
+        HW = h * w
+        N = B * HW
+        cdtype = cfg.arch.compute_dtype
+        alpha = (
+            alpha_schedule(step, cfg.max_iter, cfg.alpha_initial, cfg.alpha_final)
+            if cfg.use_edges
+            else jnp.asarray(0.0, dtype=jnp.float32)
+        )
+        grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+
+        # ---- mask head forward (inputs are constants: frozen view embedding;
+        # the engine precomputes X, with an inline traced fallback)
+        if "mask_X" in data:
+            X, table = data["mask_X"], data["mask_table"]
+        else:
+            uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
+            X = build_mask_x(uv, onehot, cfg.build_single_masks)
+        if cfg.build_single_masks:
+            stacks = [
+                mask_w_stack(jax.tree.map(lambda a, b=b: a[b], params["implicit_mask"]), table)
+                for b in range(B)
+            ]
+            m_flat = jnp.concatenate(
+                [fused_mask_forward(stacks[b], X[b], cdtype) for b in range(B)], axis=1
+            )  # [1, B*HW]
+        else:
+            stack = mask_w_stack(params["implicit_mask"], table)
+            m_flat = fused_mask_forward(stack, X, cdtype)
+
+        # ---- rgb via the fused train kernel, masked by the predicted m
+        # (the kernel's cotangent 2*C*(p-t)*m^2*inv_sum3 is exact for any
+        # mask values; m is a constant w.r.t. the neural image)
+        g_loss_scale = (10.0 ** float(cfg.w_render)) * (1.0 - alpha)
+        if cfg.w_rgb is not None:
+            g_loss_scale = g_loss_scale + (10.0 ** float(cfg.w_rgb))
+        coords_cf, warp_vjp = jax.vjp(lambda wp: warp_grid_cf_flat(grid, wp), params["warp"])
+        cw = (
+            barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), cfg.arch.posenc_L)
+            if (cfg.arch.posenc_L and cfg.arch.barf_c2f is not None)
+            else None
+        )
+        targets_cf = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
+        inv_sum3 = 1.0 / (jnp.sum(m_flat) * 3.0)
+        rgb_cf, _, dmlp, dcoords_cf = fused_train_kernel(
+            params["neural_image"], coords_cf, cw, targets_cf, m_flat,
+            g_loss_scale, inv_sum3, cfg.arch,
+        )
+        dwarp = warp_vjp(dcoords_cf)[0]
+        rgb_map = rgb_cf.reshape(3, B, h, w).transpose(1, 0, 2, 3)
+        outputs = {
+            "rgb_prediction": rgb_cf.reshape(3, B, HW).transpose(1, 2, 0),
+            "rgb_prediction_map": rgb_map,
+            "mask_prediction": m_flat.reshape(1, B, HW).transpose(1, 2, 0),
+            "mask_prediction_map": m_flat.reshape(1, B, h, w).transpose(1, 0, 2, 3),
+        }
+
+        # ---- loss terms + dL/dm (elementwise over [1, N] + reductions; the
+        # edge maps are gradient-blocked, reference inputs.py:50-69 .detach())
+        sq = jnp.sum((rgb_cf - targets_cf) ** 2, axis=0, keepdims=True)  # [1, N]
+        if cfg.use_edges:
+            edge_pred = compute_edges(rgb_map, differentiable=False)
+            outputs["edge_prediction"] = edge_pred
+            esq = jnp.sum((edge_pred - data["edges"]) ** 2, axis=1).reshape(1, N)
+        else:
+            esq = None
+
+        def loss_of_m(m):
+            s3 = jnp.sum(m) * 3.0
+            rgb_l = jnp.sum(m * m * sq) / s3
+            edge_l = (
+                jnp.sum(m * m * esq) / s3 if esq is not None else jnp.asarray(0.0, dtype=jnp.float32)
+            )
+            mask_l = jnp.mean((1.0 - m) ** 2)
+            loss = {
+                "render": render_loss(rgb_l, edge_l, mask_l, alpha),
+                "rgb": rgb_l,
+                "mask": mask_l,
+                "edge": edge_l,
+            }
+            return summarize_loss(loss, cfg.loss_weight), loss
+
+        (total, loss), g_m = jax.value_and_grad(loss_of_m, has_aux=True)(m_flat)
+
+        # ---- mask head backward
+        if cfg.build_single_masks:
+            dheads = [
+                unfactor_mask_grads(
+                    fused_mask_backward(stacks[b], X[b], g_m[:, b * HW : (b + 1) * HW], cdtype),
+                    table,
+                )
+                for b in range(B)
+            ]
+            dmask = jax.tree.map(lambda *xs: jnp.stack(xs), *dheads)
+        else:
+            dmask = unfactor_mask_grads(fused_mask_backward(stack, X, g_m, cdtype), table)
+        grads = {
+            "neural_image": dmlp,
+            "warp": dwarp,
+            "implicit_mask": dmask,
+            "view_embedding": jnp.zeros_like(params["view_embedding"]),
+        }
+        return total, loss, outputs, grads
+
     def step_fn(state: TrainState, data: dict):
         step = state.step
         progress = step.astype(jnp.float32) / cfg.max_iter
 
         if fused:
             total, loss, outputs, grads = _fused_step_grads(state, data, progress, step)
+        elif fused_implicit:
+            total, loss, outputs, grads = _fused_implicit_grads(state, data, progress, step)
         else:
             total, loss, outputs, grads = _autodiff_grads(state, data, progress, step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -62,9 +62,9 @@ class Model:
                     f"neither patch dim ({h}x{w}) divides the {n_dev}-device mesh; "
                     "data stays replicated (single-chip arithmetic on every chip)"
                 )
-            from marf_tpu.models.planar import use_fused_step
+            from marf_tpu.models.planar import use_fused_implicit, use_fused_step
 
-            if use_fused_step(self.cfg):
+            if use_fused_step(self.cfg) or use_fused_implicit(self.cfg):
                 # the Pallas kernel is a single-chip program; under a mesh the
                 # XLA path is GSPMD-partitioned instead (parallel/mesh.py docstring)
                 import dataclasses
@@ -185,10 +185,31 @@ class Model:
     # ------------------------------------------------------------- compiled fns
 
     def _build_compiled(self):
+        from marf_tpu.models.planar import use_fused_implicit
+
         cfg = self.cfg
         if (
             cfg.use_implicit_mask
-            and not bool(self.opt.optim.get("train_view_embedding", False))
+            and not cfg.train_view_embedding
+            and use_fused_implicit(cfg)
+            and "mask_X" not in self.data
+        ):
+            # fused path: the factored inputs (42-dim uv embedding + 8-way
+            # one-hot of the quantized RGB) are constants — build once
+            from marf_tpu.ops.pallas.fused_mask import build_mask_x, factor_mask_inputs
+
+            grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+            uv, onehot, table = jax.jit(factor_mask_inputs)(
+                self.state.params["view_embedding"], self.data["rgb"], grid
+            )
+            self.data["mask_X"] = jax.device_put(
+                jax.jit(build_mask_x, static_argnames="single")(uv, onehot, single=cfg.build_single_masks)
+            )
+            self.data["mask_table"] = jax.device_put(table)
+        if (
+            cfg.use_implicit_mask
+            and not cfg.train_view_embedding
+            and not use_fused_implicit(cfg)
             and "mask_head_inputs_cf" not in self.data
         ):
             # frozen view embedding -> the mask-head inputs are constants:
@@ -274,10 +295,16 @@ class Model:
                 self.timer.toc(n)
             chunk_idx += 1
             self.it += n
+            # every step of every chunk is checked (the reference asserts
+            # per-iteration, model/planar.py:181-182): a transient NaN
+            # mid-chunk fails here even if the last step recovered
+            finite_steps = np.atleast_1d(np.asarray(metrics.get("finite", True)))
+            if not bool(finite_steps.all()):
+                first_bad = self.it - len(finite_steps) + int(np.argmin(finite_steps)) + 1
+                raise FloatingPointError(f"non-finite loss at iteration {first_bad}")
             if self.it % freq.scalar == 0:
                 row = {k: np.asarray(v)[-1] for k, v in metrics.items()}
-                if not bool(row.pop("finite", True)):
-                    raise FloatingPointError(f"non-finite loss at iteration {self.it}: {row}")
+                row.pop("finite", None)
                 if self.tb:
                     self.log_scalars(row, step=self.it)
                 postfix = dict(it=self.it, loss=f"{float(row['all']):.3f}", it_per_sec=f"{self.timer.steps_per_sec:.1f}")

@@ -54,6 +54,9 @@ class PlanarConfig:
     use_masks: bool = True
     use_implicit_mask: bool = False
     build_single_masks: bool = False
+    # fix-mode: optimize the view embedding (the reference never does,
+    # model/planar.py:89-96); static here because it gates the fused path
+    train_view_embedding: bool = False
     N_vocab: int = 1500
     # edges (planar.yaml:15-17)
     use_edges: bool = True
@@ -128,6 +131,7 @@ class PlanarConfig:
             use_masks=bool(opt.get("use_masks", True)),
             use_implicit_mask=bool(opt.get("use_implicit_mask", False)),
             build_single_masks=bool(opt.get("build_single_masks", False)),
+            train_view_embedding=bool((opt.get("optim") or {}).get("train_view_embedding", False)),
             N_vocab=int(opt.get("N_vocab", 1500)),
             use_edges=bool(opt.get("use_edges", True)),
             alpha_initial=float(opt.get("alpha_initial", 0.0)),
@@ -165,6 +169,24 @@ def use_fused_step(cfg: PlanarConfig) -> bool:
     # 'auto': ON for TPU — the v4 channels-first fused kernel measures 422
     # steps/s vs 142 for the XLA path on the canonical v5e workload (PERF.md).
     # Off-TPU the kernel would run in interpreter mode; keep the XLA path.
+    return jax.default_backend() == "tpu"
+
+
+def use_fused_implicit(cfg: PlanarConfig) -> bool:
+    """Whether the implicit-mask configs run the fused kernel pipeline
+    (ops/pallas/fused_mask.py + fused_step.py): requires the faithful quirks
+    that make the factoring exact — frozen view embedding, {0,1} input
+    quantization, gradient-blocked edges."""
+    from marf_tpu.ops.pallas.fused_step import fused_step_supported
+
+    if not cfg.use_implicit_mask or cfg.fused_step == "off" or cfg.w_render is None:
+        return False
+    if cfg.train_view_embedding or cfg.mask_quantize_levels != 1 or cfg.differentiable_edges:
+        return False
+    if not fused_step_supported(cfg.arch):
+        return False
+    if cfg.fused_step == "on":
+        return True
     return jax.default_backend() == "tpu"
 
 

@@ -1,0 +1,193 @@
+"""Fused implicit-mask pipeline: factoring identity + gradient/loss
+equivalence with the autodiff path (interpret mode on CPU; compiles on TPU).
+
+Reference semantics under test: the Ha-NeRF mask head + its loss coupling
+(reference model/planar.py:338-352, 355-380, 475-517).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marf_tpu.engine.step import init_train_state, make_optimizer, make_train_chunk, make_train_step
+from marf_tpu.models.implicit_mask import apply_implicit_mask_cf, mask_head_inputs_cf
+from marf_tpu.models.neural_image import NeuralImageConfig
+from marf_tpu.models.planar import PlanarConfig, init_graph_params, use_fused_implicit, use_fused_step
+from marf_tpu.ops.grid import normalized_pixel_grid
+from marf_tpu.ops.pallas.fused_mask import (
+    build_mask_x,
+    factor_mask_inputs,
+    fused_mask_backward,
+    fused_mask_forward,
+    mask_w_stack,
+    unfactor_mask_grads,
+)
+from tests.test_models import fake_data
+
+OPTIM = {"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": "Adam"}
+
+
+def cfg_pair(**kw):
+    base = dict(
+        H=32, W=64, patch_H=16, patch_W=32, batch_size=3, max_iter=100,
+        use_implicit_mask=True, use_masks=False, N_vocab=8,
+        arch=NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4)),
+    )
+    base.update(kw)
+    off = PlanarConfig(**base, fused_step="off")
+    on = PlanarConfig(**base, fused_step="on")
+    return off, on
+
+
+def implicit_data(cfg, rng):
+    """fake_data with a saturated-pixel mix so the {0,1} quantization hits
+    all 8 RGB index combinations."""
+    data = fake_data(cfg, rng)
+    rgb = np.asarray(data["rgb"])
+    rgb = np.where(rng.rand(*rgb.shape) > 0.5, 1.0, rgb).astype(np.float32)
+    return dict(data, rgb=jnp.asarray(rgb))
+
+
+def run_steps(cfg, data, n=3):
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+    state = init_train_state(params, tx)
+    chunk = make_train_chunk(make_train_step(cfg, tx), n, donate=False)
+    return chunk(state, data)
+
+
+def test_gating():
+    off, on = cfg_pair()
+    assert not use_fused_implicit(off)
+    assert use_fused_implicit(on)
+    assert not use_fused_step(on)  # the rgb-only fused branch stays off
+    # fix-modes that break the factoring keep the autodiff path
+    _, on_q = cfg_pair(mask_quantize_levels=256)
+    assert not use_fused_implicit(on_q)
+    _, on_v = cfg_pair(train_view_embedding=True)
+    assert not use_fused_implicit(on_v)
+    _, on_d = cfg_pair(differentiable_edges=True)
+    assert not use_fused_implicit(on_d)
+
+
+@pytest.mark.parametrize("single", [False, True])
+def test_factoring_matches_dense(rng, single):
+    """X/table factoring reproduces the dense mask-head forward exactly."""
+    cfg, _ = cfg_pair(build_single_masks=single)
+    data = implicit_data(cfg, rng)
+    params = init_graph_params(jax.random.PRNGKey(1), cfg)
+    grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+
+    dense = mask_head_inputs_cf(params["view_embedding"], data["rgb"], grid)  # [B, 426, HW]
+    uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
+    X = build_mask_x(uv, onehot, single=single)
+
+    if single:
+        for b in range(cfg.batch_size):
+            head = jax.tree.map(lambda a, b=b: a[b], params["implicit_mask"])
+            m_dense = apply_implicit_mask_cf(head, dense[b])
+            m_eff = apply_implicit_mask_cf({"mlp": mask_w_stack(head, table)}, X[b])
+            np.testing.assert_allclose(np.asarray(m_eff), np.asarray(m_dense), rtol=1e-5, atol=1e-6)
+    else:
+        flat = dense.transpose(1, 0, 2).reshape(dense.shape[1], -1)
+        m_dense = apply_implicit_mask_cf(params["implicit_mask"], flat)
+        m_eff = apply_implicit_mask_cf({"mlp": mask_w_stack(params["implicit_mask"], table)}, X)
+        np.testing.assert_allclose(np.asarray(m_eff), np.asarray(m_dense), rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_backward_matches_autodiff_vjp(rng):
+    """The bwd kernel's dW/db equal autodiff through the effective stack."""
+    cfg, _ = cfg_pair()
+    data = implicit_data(cfg, rng)
+    params = init_graph_params(jax.random.PRNGKey(2), cfg)
+    grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+    uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
+    X = build_mask_x(uv, onehot, single=False)
+    stack = mask_w_stack(params["implicit_mask"], table)
+    g = jnp.asarray(rng.randn(1, X.shape[1]).astype(np.float32))
+
+    m_kernel = fused_mask_forward(stack, X)
+    dstack = fused_mask_backward(stack, X, g)
+
+    def f(layers):
+        return jnp.sum(apply_implicit_mask_cf({"mlp": layers}, X) * g)
+
+    m_ref = apply_implicit_mask_cf({"mlp": stack}, X)
+    dref = jax.grad(f)(stack)
+    np.testing.assert_allclose(np.asarray(m_kernel), np.asarray(m_ref), rtol=1e-5, atol=1e-6)
+    for li, (dk, dr) in enumerate(zip(dstack, dref)):
+        np.testing.assert_allclose(
+            np.asarray(dk["w"]), np.asarray(dr["w"]), rtol=1e-4, atol=1e-6, err_msg=f"layer {li} dW"
+        )
+        np.testing.assert_allclose(
+            np.asarray(dk["b"]), np.asarray(dr["b"]), rtol=1e-4, atol=1e-6, err_msg=f"layer {li} db"
+        )
+    # unfactored dW1 has the reference [426, 256] layout
+    dparams = unfactor_mask_grads(dstack, table)
+    assert dparams["mlp"][0]["w"].shape == params["implicit_mask"]["mlp"][0]["w"].shape
+
+
+@pytest.mark.parametrize(
+    "single,use_edges",
+    [(False, True), (False, False), (True, True)],
+)
+def test_fused_implicit_matches_autodiff(rng, single, use_edges):
+    off, on = cfg_pair(build_single_masks=single, use_edges=use_edges, alpha_initial=0.3)
+    data = implicit_data(off, rng)
+    if not use_edges:
+        data = dict(data, edges=None)
+    s_off, m_off = run_steps(off, data)
+    s_on, m_on = run_steps(on, data)
+    for key in ("all", "loss_rgb", "loss_mask", "loss_render", "PSNR"):
+        np.testing.assert_allclose(
+            np.asarray(m_on[key]), np.asarray(m_off[key]), rtol=1e-5, atol=1e-7, err_msg=key
+        )
+    if use_edges:
+        np.testing.assert_allclose(
+            np.asarray(m_on["loss_edge"]), np.asarray(m_off["loss_edge"]), rtol=1e-5, atol=1e-7
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_on.params["warp"]), np.asarray(s_off.params["warp"]), rtol=1e-3, atol=1e-6
+    )
+    for li in range(len(off.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s_on.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s_off.params["neural_image"]["mlp"][li]["w"]),
+            rtol=1e-3, atol=1e-6, err_msg=f"neural_image layer {li}",
+        )
+    for li in range(5):
+        np.testing.assert_allclose(
+            np.asarray(s_on.params["implicit_mask"]["mlp"][li]["w"]),
+            np.asarray(s_off.params["implicit_mask"]["mlp"][li]["w"]),
+            rtol=1e-3, atol=1e-6, err_msg=f"mask head layer {li}",
+        )
+
+
+def test_fused_implicit_mask_error_metric(rng):
+    """use_masks + implicit: the Mask_Error metric matches the autodiff path."""
+    off, on = cfg_pair(use_masks=True)
+    data = implicit_data(off, rng)
+    _, m_off = run_steps(off, data)
+    _, m_on = run_steps(on, data)
+    np.testing.assert_allclose(
+        np.asarray(m_on["Mask_Error"]), np.asarray(m_off["Mask_Error"]), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_fused_implicit_precomputed_X(rng):
+    """The engine-precomputed mask_X/mask_table path equals the inline one."""
+    _, on = cfg_pair()
+    data = implicit_data(on, rng)
+    params = init_graph_params(jax.random.PRNGKey(0), on)
+    grid = normalized_pixel_grid(on.grid_spec, crop=on.use_cropped_images)
+    uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
+    data_pre = dict(data, mask_X=build_mask_x(uv, onehot, single=False), mask_table=table)
+    s_inline, m_inline = run_steps(on, data)
+    s_pre, m_pre = run_steps(on, data_pre)
+    np.testing.assert_allclose(np.asarray(m_pre["all"]), np.asarray(m_inline["all"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_pre.params["implicit_mask"]["mlp"][0]["w"]),
+        np.asarray(s_inline.params["implicit_mask"]["mlp"][0]["w"]),
+        rtol=1e-5, atol=1e-7,
+    )
