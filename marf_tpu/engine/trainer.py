@@ -365,15 +365,38 @@ class Model:
                 masks = np.asarray(self.data["masks"])
                 vis_lib.tb_image(self.opt, self.tb, tag_step, split, "input_masks", vis_lib.color_border(masks, colors))
         vis_lib.tb_image(self.opt, self.tb, tag_step, split, "predicted_image", frame[None])
-        if self.cfg.use_implicit_mask:
+        tb_opt = self.opt.get("tb") or {}
+        show_edges = bool(tb_opt.get("show_edges")) and self.cfg.use_edges
+        out = None
+        if self.cfg.use_implicit_mask or show_edges:
             progress = jnp.asarray(max(self.it - 1, 0) / self.cfg.max_iter, dtype=jnp.float32)
             out = self._forward_jit(self.state.params, self.data, progress)
+        if self.cfg.use_implicit_mask:
             h, w = self.cfg.map_hw
             mask_formed = np.asarray(out["mask_prediction"]).reshape(self.batch_size, h, w, 1).transpose(0, 3, 1, 2)
             vis_lib.tb_image(
                 self.opt, self.tb, tag_step, split, "implicit_masks",
                 vis_lib.color_border(mask_formed, colors, width=1, depth=1),
             )
+        if show_edges:
+            # the reference ships this panel commented out (model/planar.py:288-292)
+            vis_lib.tb_image(
+                self.opt, self.tb, tag_step, split, "predicted_edges",
+                np.asarray(out["edge_prediction"]),
+            )
+        if bool(tb_opt.get("show_corners")):
+            # consumer for the reference's never-called warp_corners
+            # (warp.py:83-93): current warped patch windows on the canvas
+            from marf_tpu.ops.grid import crop_corners
+            from marf_tpu.ops.warp import warp_corners
+
+            spec = self.cfg.grid_spec
+            cn = np.asarray(warp_corners(crop_corners(spec), self.state.params["warp"]))  # [B, 4, 2]
+            px = np.empty_like(cn)
+            px[..., 0] = (cn[..., 0] / spec.norm_w + 1) / 2 * self.cfg.W - 0.5
+            px[..., 1] = (cn[..., 1] / spec.norm_h + 1) / 2 * self.cfg.H - 0.5
+            overlay = vis_lib.draw_corner_boxes(np.clip(frame, 0, 1), px, colors)
+            vis_lib.tb_image(self.opt, self.tb, tag_step, split, "warp_corners", overlay[None])
 
     def _mux_video(self):
         """vis.mp4 from the frame dumps (reference model/planar.py:163-165);

@@ -67,6 +67,37 @@ def tb_image(opt, tb, step, group, name, images, num_vis=None, from_range=(0, 1)
     tb.add_image(f"{group}/{name}", image_grid, step)
 
 
+def draw_corner_boxes(frame: np.ndarray, corners_px: np.ndarray, colors: np.ndarray) -> np.ndarray:
+    """Overlay warped patch outlines on a full-canvas render.
+
+    Consumer for the reference's never-called `warp_corners` op
+    (reference warp.py:83-93): each image's patch window, warped by its
+    current homography, is drawn as a colored quadrilateral.
+
+    Args:
+      frame: [3, H, W] float image in [0, 1].
+      corners_px: [B, 4, 2] corner (x, y) pixel coordinates.
+      colors: [B, 3] 0-255 RGB border colors.
+
+    Returns:
+      [3, H, W] copy with the outlines drawn (off-canvas segments clipped).
+    """
+    out = frame.copy()
+    H, W = frame.shape[1:]
+    for b in range(corners_px.shape[0]):
+        col = np.asarray(colors[b], dtype=np.float32) / 255.0
+        quad = corners_px[b]
+        for e in range(4):
+            p0, p1 = quad[e], quad[(e + 1) % 4]
+            n = max(2, int(np.ceil(np.abs(p1 - p0).max())) + 1)
+            ts = np.linspace(0.0, 1.0, n)
+            xs = np.rint(p0[0] + ts * (p1[0] - p0[0])).astype(int)
+            ys = np.rint(p0[1] + ts * (p1[1] - p0[1])).astype(int)
+            keep = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+            out[:, ys[keep], xs[keep]] = col[:, None]
+    return out
+
+
 def color_border(images: np.ndarray, colors: np.ndarray, width: int = 3, depth: int = 3) -> np.ndarray:
     """Frame each image with a per-image color (reference util_vis.py:43-56).
 

@@ -50,7 +50,10 @@ def run_lifecycle(opt):
 
 
 def test_full_lifecycle_and_convergence(tmp_path):
-    m = run_lifecycle(make_opt(tmp_path))
+    opt = make_opt(tmp_path)
+    opt.tb.show_edges = True
+    opt.tb.show_corners = True
+    m = run_lifecycle(opt)
     # loss went down: re-evaluate rgb loss at final params vs initial
     assert m.it == 60
     # frame dumps at iter 0 + every vis=30 -> 0,30,60 => 3 frames
@@ -59,6 +62,16 @@ def test_full_lifecycle_and_convergence(tmp_path):
     # TB event file exists
     events = glob.glob(f"{m.opt.output_path}/events.out.tfevents.*")
     assert events
+    # opt-in image panels landed (predicted_edges: the reference ships it
+    # commented out, model/planar.py:288-292; warp_corners: reference op
+    # defined but never called, warp.py:83-93)
+    from tensorboard.backend.event_processing.event_accumulator import EventAccumulator
+
+    ea = EventAccumulator(m.opt.output_path)
+    ea.Reload()
+    imgs = set(ea.Tags()["images"])
+    assert any(t.startswith("train/predicted_edges") for t in imgs), imgs
+    assert any(t.startswith("train/warp_corners") for t in imgs), imgs
     # checkpoint saved at end
     assert os.path.isdir(f"{m.opt.output_path}/ckpt/60")
     # warp gauge pinned
