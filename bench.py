@@ -24,6 +24,7 @@ Env knobs (defaults = the faithful canonical config):
     MARF_BENCH_SEED        init seed (default 3)
     MARF_BENCH_DTYPE       float32 | bfloat16 (tpu.compute_dtype)
     MARF_BENCH_FUSED_STEP  auto | on | off (tpu.fused_step)
+    MARF_BENCH_FUSED_WARP  auto | on | off (tpu.fused_warp, v5 in-kernel warp)
     MARF_BENCH_PRECISION   '' | highest (jax_default_matmul_precision)
 """
 
@@ -46,6 +47,7 @@ SEED = int(os.environ.get("MARF_BENCH_SEED", 3))
 DTYPE = os.environ.get("MARF_BENCH_DTYPE", "float32")
 PRECISION = os.environ.get("MARF_BENCH_PRECISION", "")
 FUSED_STEP = os.environ.get("MARF_BENCH_FUSED_STEP", "auto")
+FUSED_WARP = os.environ.get("MARF_BENCH_FUSED_WARP", "auto")
 
 # BASELINE.md evaluation configs (reference script.py case table)
 CASES = {
@@ -86,6 +88,7 @@ def build_model():
     opt.update(AttrDict(overrides))
     opt.tpu.compute_dtype = DTYPE
     opt.tpu.fused_step = FUSED_STEP
+    opt.tpu.fused_warp = FUSED_WARP
     if no_posenc:
         opt.arch.posenc = False
 

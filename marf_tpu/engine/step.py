@@ -185,13 +185,6 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
 
         grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
 
-        # warp in XLA (tiny [B,8] chain), EVERYTHING else channels-first in
-        # the kernel: posenc + c2f + MLP fwd + loss partials + full bwd incl.
-        # the analytic posenc VJP. Only [2,N] coords / [3,N] targets /
-        # [1,N] masks / [2,N] dcoords cross HBM.
-        coords_cf, warp_vjp = jax.vjp(
-            lambda wp: warp_grid_cf_flat(grid, wp), params["warp"]
-        )  # [2, N]
         cw = (
             barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), cfg.arch.posenc_L)
             if (cfg.arch.posenc_L and cfg.arch.barf_c2f is not None)
@@ -205,11 +198,39 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             masks_cf = jnp.ones((1, N), dtype=jnp.float32)
         inv_sum3 = 1.0 / (jnp.sum(masks_cf) * 3.0)
 
-        rgb_cf, rgb_loss, dmlp, dcoords_cf = fused_train_kernel(
-            params["neural_image"], coords_cf, cw, targets_cf, masks_cf,
-            g_loss_scale, inv_sum3, cfg.arch,
-        )
-        dwarp = warp_vjp(dcoords_cf)[0]
+        if cfg.fused_warp != "off" and B <= 8:
+            # v5: warp + its VJP in-kernel — only the tiny 3x3 expm (and its
+            # VJP) stay in XLA; the per-point HBM streams shrink to the
+            # constant (u, v, b) grid + targets/masks
+            from marf_tpu.ops.pallas.fused_step import fused_train_kernel_warp
+
+            uv = grid.T  # [2, HW] constant
+            grid_b = jnp.concatenate(
+                [
+                    jnp.tile(uv, (1, B)),
+                    jnp.repeat(jnp.arange(B, dtype=jnp.float32), uv.shape[1])[None, :],
+                ],
+                axis=0,
+            )  # [3, N] constant — folded by XLA
+            H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
+            rgb_cf, rgb_loss, dmlp, dH = fused_train_kernel_warp(
+                params["neural_image"], grid_b, H, cw, targets_cf, masks_cf,
+                g_loss_scale, inv_sum3, cfg.arch,
+            )
+            dwarp = expm_vjp(dH)[0]
+        else:
+            # v4: warp in XLA (tiny [B,8] chain), EVERYTHING else channels-
+            # first in the kernel: posenc + c2f + MLP fwd + loss partials +
+            # full bwd incl. the analytic posenc VJP. Only [2,N] coords /
+            # [3,N] targets / [1,N] masks / [2,N] dcoords cross HBM.
+            coords_cf, warp_vjp = jax.vjp(
+                lambda wp: warp_grid_cf_flat(grid, wp), params["warp"]
+            )  # [2, N]
+            rgb_cf, rgb_loss, dmlp, dcoords_cf = fused_train_kernel(
+                params["neural_image"], coords_cf, cw, targets_cf, masks_cf,
+                g_loss_scale, inv_sum3, cfg.arch,
+            )
+            dwarp = warp_vjp(dcoords_cf)[0]
         grads = {"neural_image": dmlp, "warp": dwarp}
 
         rgb_map = rgb_cf.reshape(3, B, h, w).transpose(1, 0, 2, 3)

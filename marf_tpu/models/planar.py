@@ -73,6 +73,9 @@ class PlanarConfig:
     # single-pass fused fwd+loss+bwd train kernel (ops/pallas/fused_step.py):
     # 'auto' (on TPU when the config is in scope), 'on', 'off'
     fused_step: str = "auto"
+    # v5 variant: homography warp + its VJP inside the kernel (only the 3x3
+    # expm stays in XLA); 'auto'/'on'/'off' — applies when fused_step runs
+    fused_warp: str = "auto"
     # loss weights in log10 scale; None disables a term (planar.yaml:67-71)
     w_render: float | None = 0.0
     w_rgb: float | None = 0.0
@@ -139,6 +142,7 @@ class PlanarConfig:
             differentiable_edges=bool(tpu_opts.get("differentiable_edges", False)),
             mask_quantize_levels=int(tpu_opts.get("mask_quantize_levels", 1)),
             fused_step=tristate("fused_step"),
+            fused_warp=tristate("fused_warp"),
             warp_type=opt.warp.type,
             warp_dof=opt.warp.dof,
             fix_first=bool(opt.warp.get("fix_first", True)),

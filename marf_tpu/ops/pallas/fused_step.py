@@ -71,6 +71,78 @@ def _enc_rows(L: int) -> int:
     return 8 + 4 * L if L else 8
 
 
+def _posenc_fwd(x, y, L, cw_ref):
+    """In-kernel cf posenc. Returns (enc [8+4L, SUB], vjp_state)."""
+    zeros6 = jnp.zeros((6, x.shape[-1]), dtype=jnp.float32)
+    xy_blk = jnp.concatenate([x, y, zeros6], axis=0)  # [8, SUB]
+    if not L:
+        return xy_blk, None
+    k = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).astype(jnp.float32)
+    freq = jnp.exp2(k) * np.float32(np.pi)  # [L, 1] = 2^k * pi
+    cw = cw_ref[:]  # [L, 1]
+    spec_x = x * freq  # [L, SUB] (sublane-broadcast of x)
+    spec_y = y * freq
+    sin_x, cos_x = jnp.sin(spec_x) * cw, jnp.cos(spec_x) * cw
+    sin_y, cos_y = jnp.sin(spec_y) * cw, jnp.cos(spec_y) * cw
+    enc = jnp.concatenate([xy_blk, sin_x, cos_x, sin_y, cos_y], axis=0)
+    return enc, (freq, sin_x, cos_x, sin_y, cos_y)
+
+
+def _posenc_vjp(denc, L, vjp_state):
+    """Analytic posenc VJP: dcoord = denc_xy + sum_k f_k * (cos*w (.) dsin
+    - sin*w (.) dcos) — the sin/cos tiles already carry the c2f weight."""
+    dx = denc[0:1, :]
+    dy = denc[1:2, :]
+    if L:
+        freq, sin_x, cos_x, sin_y, cos_y = vjp_state
+        dsin_x = denc[8 : 8 + L, :]
+        dcos_x = denc[8 + L : 8 + 2 * L, :]
+        dsin_y = denc[8 + 2 * L : 8 + 3 * L, :]
+        dcos_y = denc[8 + 3 * L : 8 + 4 * L, :]
+        dx = dx + jnp.sum(freq * (cos_x * dsin_x - sin_x * dcos_x), axis=0, keepdims=True)
+        dy = dy + jnp.sum(freq * (cos_y * dsin_y - sin_y * dcos_y), axis=0, keepdims=True)
+    return dx, dy
+
+
+def _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype):
+    """cf dense-stack forward: h_{l+1} = relu(W^T @ h_l + b); sigmoid out.
+    Returns the activation list (enc .. rgb)."""
+    acts = [enc.astype(cdtype)]
+    for li in range(n_layers):
+        z = (
+            jax.lax.dot_general(
+                wt_refs[li][:], acts[li], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_refs[li][:]
+        )
+        if li != n_layers - 1:
+            acts.append(jax.nn.relu(z).astype(cdtype))
+        else:
+            acts.append(jax.nn.sigmoid(z))  # f32 rgb [3, SUB]
+    return acts
+
+
+def _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype):
+    """cf dense-stack backward: dW = dz @ h^T (contract lanes, K=SUB — ideal
+    MXU shape); dx = W @ dz; relu mask from the saved activations. Returns
+    denc (the cotangent w.r.t. the encoding)."""
+    for li in range(n_layers - 1, -1, -1):
+        a = acts[li]
+        acc_dw[li][:] += jax.lax.dot_general(
+            d, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
+        da = jax.lax.dot_general(
+            w_refs[li][:], d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if li > 0:
+            d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
+        else:
+            return da  # denc [enc_rows, SUB]
+    return None
+
+
 def _kernel(n_layers, L, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_ref, *refs):
     """One grid step: posenc -> MLP fwd -> loss partials -> full bwd, cf.
 
@@ -104,35 +176,9 @@ def _kernel(n_layers, L, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_r
 
     x = coords_ref[0:1, :]  # [1, SUB]
     y = coords_ref[1:2, :]
-    zeros6 = jnp.zeros((6, x.shape[-1]), dtype=jnp.float32)
-    xy_blk = jnp.concatenate([x, y, zeros6], axis=0)  # [8, SUB]
+    enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
 
-    if L:
-        k = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).astype(jnp.float32)
-        freq = jnp.exp2(k) * np.float32(np.pi)  # [L, 1] = 2^k * pi
-        cw = cw_ref[:]  # [L, 1]
-        spec_x = x * freq  # [L, SUB] (sublane-broadcast of x)
-        spec_y = y * freq
-        sin_x, cos_x = jnp.sin(spec_x) * cw, jnp.cos(spec_x) * cw
-        sin_y, cos_y = jnp.sin(spec_y) * cw, jnp.cos(spec_y) * cw
-        enc = jnp.concatenate([xy_blk, sin_x, cos_x, sin_y, cos_y], axis=0)
-    else:
-        enc = xy_blk
-
-    # ---- forward (cf): h_{l+1} = relu(W^T @ h_l + b)
-    acts = [enc.astype(cdtype)]
-    for li in range(n_layers):
-        z = (
-            jax.lax.dot_general(
-                wt_refs[li][:], acts[li], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b_refs[li][:]
-        )
-        if li != n_layers - 1:
-            acts.append(jax.nn.relu(z).astype(cdtype))
-        else:
-            acts.append(jax.nn.sigmoid(z))  # f32 rgb [3, SUB]
+    acts = _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype)
 
     # ---- loss partials + output cotangent
     rgb = acts[n_layers]
@@ -143,33 +189,8 @@ def _kernel(n_layers, L, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_r
     d_out = dscale * diff_m * msk
     d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)  # chain through sigmoid
 
-    # ---- backward (cf): dW = dz @ h^T (contract lanes, K=SUB — ideal MXU
-    # shape); dx = W @ dz; relu mask from the saved activations
-    for li in range(n_layers - 1, -1, -1):
-        a = acts[li]
-        acc_dw[li][:] += jax.lax.dot_general(
-            d, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
-        da = jax.lax.dot_general(
-            w_refs[li][:], d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if li > 0:
-            d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
-        else:
-            denc = da  # [enc_rows, SUB]
-
-    # ---- analytic posenc VJP: dcoord = denc_xy + sum_k f_k * (cos*w (.) dsin
-    # - sin*w (.) dcos)  — the sin/cos tiles already carry the c2f weight
-    dx = denc[0:1, :]
-    dy = denc[1:2, :]
-    if L:
-        dsin_x = denc[8 : 8 + L, :]
-        dcos_x = denc[8 + L : 8 + 2 * L, :]
-        dsin_y = denc[8 + 2 * L : 8 + 3 * L, :]
-        dcos_y = denc[8 + 3 * L : 8 + 4 * L, :]
-        dx = dx + jnp.sum(freq * (cos_x * dsin_x - sin_x * dcos_x), axis=0, keepdims=True)
-        dy = dy + jnp.sum(freq * (cos_y * dsin_y - sin_y * dcos_y), axis=0, keepdims=True)
+    denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
+    dx, dy = _posenc_vjp(denc, L, pe_state)
     dcoords_ref[:] = jnp.concatenate([dx, dy], axis=0)
 
     @pl.when(step == pl.num_programs(0) - 1)
@@ -177,6 +198,95 @@ def _kernel(n_layers, L, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_r
         for li in range(n_layers):
             out_dw[li][:] = acc_dw[li][:]
             out_db[li][:] = acc_db[li][:]
+        loss_ref[:] = jnp.full((1, 1), loss_acc[0], dtype=jnp.float32)
+
+
+def _kernel_warp(n_layers, L, cdtype, scalars_ref, grid_ref, hrows_ref, cw_ref, tgt_ref, msk_ref, *refs):
+    """v5 grid step: in-kernel homography warp + posenc + MLP fwd + loss +
+    full bwd INCLUDING the warp VJP (dH accumulated per image).
+
+    grid_ref [3, SUB]: rows (u, v, b) — the constant unwarped normalized
+    grid and per-column image index (b = -1 on padding columns, zeroing the
+    one-hot so padded columns cannot pollute dH).
+    hrows_ref [16, PB]: column b = row-major flattened H[b] (9 rows used).
+    Only the tiny sl(3)->SL(3) expm and its VJP stay in XLA
+    (reference warp.py:70-81: x @ H^T then perspective divide +1e-8).
+    """
+    wt_refs = refs[:n_layers]
+    w_refs = refs[n_layers : 2 * n_layers]
+    b_refs = refs[2 * n_layers : 3 * n_layers]
+    rgb_ref = refs[3 * n_layers]  # [3, SUB]
+    dh_ref = refs[3 * n_layers + 1]  # [16, PB]
+    loss_ref = refs[3 * n_layers + 2]  # [1, 1]
+    out_dw = refs[3 * n_layers + 3 : 4 * n_layers + 3]
+    out_db = refs[4 * n_layers + 3 : 5 * n_layers + 3]
+    acc_dw = refs[5 * n_layers + 3 : 6 * n_layers + 3]
+    acc_db = refs[6 * n_layers + 3 : 7 * n_layers + 3]
+    acc_dh = refs[7 * n_layers + 3]  # VMEM [16, PB]
+    loss_acc = refs[7 * n_layers + 4]  # SMEM [1]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for li in range(n_layers):
+            acc_dw[li][:] = jnp.zeros_like(acc_dw[li])
+            acc_db[li][:] = jnp.zeros_like(acc_db[li])
+        acc_dh[:] = jnp.zeros_like(acc_dh)
+        loss_acc[0] = 0.0
+
+    dscale = scalars_ref[0]
+    lscale = scalars_ref[1]
+
+    # ---- in-kernel warp: one-hot the image index, gather H columns, apply
+    u = grid_ref[0:1, :]  # [1, SUB]
+    v = grid_ref[1:2, :]
+    bidx = grid_ref[2:3, :]
+    PB = acc_dh.shape[1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (PB, 1), 0).astype(jnp.float32)
+    bo = (bidx == iota_b).astype(jnp.float32)  # [PB, SUB]
+    hc = jax.lax.dot_general(
+        hrows_ref[:], bo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [16, SUB]; rows 0-8 = per-column H entries
+    rden = 1.0 / (hc[8:9, :] * 1.0 + hc[6:7, :] * u + hc[7:8, :] * v + np.float32(1e-8))
+    x = (hc[0:1, :] * u + hc[1:2, :] * v + hc[2:3, :]) * rden
+    y = (hc[3:4, :] * u + hc[4:5, :] * v + hc[5:6, :]) * rden
+
+    enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
+    acts = _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype)
+
+    rgb = acts[n_layers]
+    rgb_ref[:] = rgb
+    msk = msk_ref[:]
+    diff_m = (rgb - tgt_ref[:]) * msk
+    loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
+    d_out = dscale * diff_m * msk
+    d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)
+
+    denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
+    dx, dy = _posenc_vjp(denc, L, pe_state)
+
+    # ---- warp VJP: x = xh * rden, y = yh * rden, rden = 1/(wden + eps)
+    # => dxh = dx*rden, dwden = -(dx*x + dy*y)*rden; dH rows via segment-sum
+    # over the one-hot (a [16, SUB] x [SUB, PB] MXU contraction per tile)
+    dxh = dx * rden
+    dyh = dy * rden
+    dwden = -(dx * x + dy * y) * rden
+    zeros7 = jnp.zeros((7, u.shape[-1]), dtype=jnp.float32)
+    drows = jnp.concatenate(
+        [dxh * u, dxh * v, dxh, dyh * u, dyh * v, dyh, dwden * u, dwden * v, dwden, zeros7],
+        axis=0,
+    )  # [16, SUB]
+    acc_dh[:] += jax.lax.dot_general(
+        drows, bo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [16, PB]
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _writeout():
+        for li in range(n_layers):
+            out_dw[li][:] = acc_dw[li][:]
+            out_db[li][:] = acc_db[li][:]
+        dh_ref[:] = acc_dh[:]
         loss_ref[:] = jnp.full((1, 1), loss_acc[0], dtype=jnp.float32)
 
 
@@ -295,3 +405,117 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
         + [{"w": dws[i].T, "b": dbs[i]} for i in range(1, n_layers)]
     }
     return rgb_cf, rgb_loss, dparams, dcoords_cf
+
+
+PB = 8  # padded image-index axis of the v5 kernel (B <= 8 images)
+
+
+def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_loss_scale, inv_sum3, arch_cfg):
+    """v5: the fused kernel with the homography warp (and its VJP) in-kernel.
+
+    Args:
+      params: MLP pytree (f32 master weights, w [in, out]).
+      grid_b_cf: [3, N] constant stream — rows (u, v, image index b). The
+        unwarped normalized grid repeats per image (column order b*HW + i).
+      H: [B, 3, 3] homographies (sl3_to_SL3 of the warp params — the tiny
+        expm and its VJP stay in XLA).
+      cw / targets_cf / masks_cf / g_loss_scale / inv_sum3 / arch_cfg: as in
+        `fused_train_kernel`.
+
+    Returns:
+      (rgb_cf [3, N], rgb_loss scalar, dparams pytree, dH [B, 3, 3]).
+    """
+    dims = arch_cfg.layer_dims
+    n_layers = len(dims)
+    L = int(arch_cfg.posenc_L or 0)
+    cdtype = jnp.dtype(arch_cfg.compute_dtype)
+    B = H.shape[0]
+    assert B <= PB, f"v5 kernel supports at most {PB} images (got {B})"
+    N = grid_b_cf.shape[1]
+    n_padded = -(-max(N, SUB) // SUB) * SUB
+    grid = n_padded // SUB
+    out_dim = dims[-1][1]
+
+    def pad_cols(a, value=0.0):
+        if a.shape[1] == n_padded:
+            return a
+        return jnp.pad(a, ((0, 0), (0, n_padded - a.shape[1])), constant_values=value)
+
+    # padding columns get b = -1: the in-kernel one-hot is all-zero there, so
+    # hc = 0, rden = 1/eps, coords = 0 — and dH picks up nothing
+    grid_p = jnp.concatenate(
+        [pad_cols(grid_b_cf[:2]), pad_cols(grid_b_cf[2:3], value=-1.0)], axis=0
+    )
+    targets_p = pad_cols(targets_cf)
+    masks_p = pad_cols(masks_cf)  # zero mask on padding -> no loss/grad pollution
+
+    hrows = jnp.zeros((16, PB), dtype=jnp.float32)
+    hrows = hrows.at[:9, :B].set(H.reshape(B, 9).T)
+
+    ws = [params["mlp"][i]["w"] for i in range(n_layers)]
+    ws[0] = _expand_w1(ws[0], L)
+    wts = [w.T.astype(cdtype) for w in ws]
+    ws = [w.astype(cdtype) for w in ws]
+    biases = [params["mlp"][i]["b"].reshape(-1, 1) for i in range(n_layers)]
+    scalars = jnp.stack([2.0 * g_loss_scale * inv_sum3, inv_sum3]).astype(jnp.float32)
+    cw_col = (
+        cw.reshape(-1, 1).astype(jnp.float32)
+        if cw is not None
+        else jnp.ones((max(L, 1), 1), dtype=jnp.float32)
+    )
+
+    kernel = functools.partial(_kernel_warp, n_layers, L, cdtype)
+    out_shapes = (
+        [
+            jax.ShapeDtypeStruct((out_dim, n_padded), jnp.float32),  # rgb
+            jax.ShapeDtypeStruct((16, PB), jnp.float32),  # dH rows
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),  # rgb_loss
+        ]
+        + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in wts]
+        + [jax.ShapeDtypeStruct((b.shape[0], 1), jnp.float32) for b in biases]
+    )
+    out_specs = (
+        [
+            pl.BlockSpec((out_dim, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, PB), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for wt in wts]
+        + [pl.BlockSpec((b.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.VMEM) for b in biases]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [2]
+            pl.BlockSpec((3, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # (u, v, b)
+            pl.BlockSpec((16, PB), lambda i: (0, 0), memory_space=pltpu.VMEM),  # H rows
+            pl.BlockSpec((max(L, 1), 1), lambda i: (0, 0), memory_space=pltpu.VMEM),  # c2f w
+            pl.BlockSpec((out_dim, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # targets
+            pl.BlockSpec((1, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # masks
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3 * n_layers)],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=(
+            [pltpu.VMEM(wt.shape, jnp.float32) for wt in wts]
+            + [pltpu.VMEM((b.shape[0], 1), jnp.float32) for b in biases]
+            + [pltpu.VMEM((16, PB), jnp.float32)]
+            + [pltpu.SMEM((1,), jnp.float32)]
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(scalars, grid_p, hrows, cw_col, targets_p, masks_p, *wts, *ws, *biases)
+
+    rgb_cf = outs[0][:, :N]
+    dH = outs[1][:9, :B].T.reshape(B, 3, 3)
+    rgb_loss = outs[2][0, 0]
+    dws = outs[3 : 3 + n_layers]
+    dbs = [b.reshape(-1) for b in outs[3 + n_layers :]]
+    dw1 = dws[0].T
+    dw1 = jnp.concatenate([dw1[:2], dw1[8:]], axis=0) if L else dw1[: dims[0][0]]
+    dparams = {
+        "mlp": [{"w": dw1, "b": dbs[0]}]
+        + [{"w": dws[i].T, "b": dbs[i]} for i in range(1, n_layers)]
+    }
+    return rgb_cf, rgb_loss, dparams, dH

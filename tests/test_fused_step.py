@@ -16,14 +16,14 @@ from tests.test_models import fake_data
 OPTIM = {"lr": 1e-3, "lr_warp": 1e-3, "lr_mask": 1e-3, "algo": "Adam"}
 
 
-def cfg_pair(**kw):
+def cfg_pair(fused_warp="off", **kw):
     base = dict(
         H=32, W=64, patch_H=16, patch_W=32, batch_size=3, max_iter=100,
         arch=NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4)),
     )
     base.update(kw)
     off = PlanarConfig(**base, fused_step="off")
-    on = PlanarConfig(**base, fused_step="on")
+    on = PlanarConfig(**base, fused_step="on", fused_warp=fused_warp)
     return off, on
 
 
@@ -44,9 +44,13 @@ def test_gating():
     assert not use_fused_step(on_im)
 
 
-@pytest.mark.parametrize("use_masks,use_edges", [(True, True), (True, False), (False, True)])
-def test_fused_step_matches_autodiff(rng, use_masks, use_edges):
-    off, on = cfg_pair(use_masks=use_masks, use_edges=use_edges)
+@pytest.mark.parametrize(
+    "use_masks,use_edges,fused_warp",
+    [(True, True, "off"), (True, False, "off"), (False, True, "off"),
+     (True, True, "on"), (False, True, "on")],
+)
+def test_fused_step_matches_autodiff(rng, use_masks, use_edges, fused_warp):
+    off, on = cfg_pair(use_masks=use_masks, use_edges=use_edges, fused_warp=fused_warp)
     data = fake_data(off, rng)
     if not use_masks:
         data = dict(data, masks=None, masks_eroded=None)
