@@ -274,26 +274,26 @@ class Model:
         pbar = tqdm.tqdm(total=max_iter, desc="Training", leave=False, initial=self.it)
         postfix = {}
         chunk_idx = 0
+        profiling = False
         while self.it < max_iter:
             n = min(c, max_iter - self.it)
-            self.timer.tic()
+            # profile as a pure overlay on the normal loop: the trace spans
+            # chunks [1, 1+profile_chunks) (chunk 0 carries the compile), and
+            # logging / vis / checkpoint cadences are unaffected (SURVEY.md
+            # §5: jax.profiler device trace as the tracing subsystem; view
+            # with tensorboard --logdir <output>/profile)
             if profile_chunks and chunk_idx == 1:
-                # chunk 0 carries the compile; trace steady-state chunks
-                # (SURVEY.md §5: jax.profiler device trace as the tracing
-                # subsystem; view with tensorboard --logdir <output>/profile)
-                with jax.profiler.trace(f"{self.opt.output_path}/profile"):
-                    for _ in range(profile_chunks):
-                        self.state, metrics = self._chunk(n)(self.state, self.data)
-                    jax.block_until_ready(self.state.params["warp"])
-                self.timer.toc(n * profile_chunks)
-                self.it += n * (profile_chunks - 1)
-                pbar.update(n * (profile_chunks - 1))
-                log.info(f"profiler trace written to {self.opt.output_path}/profile")
-            else:
-                self.state, metrics = self._chunk(n)(self.state, self.data)
-                jax.block_until_ready(self.state.params["warp"])
-                self.timer.toc(n)
+                jax.profiler.start_trace(f"{self.opt.output_path}/profile")
+                profiling = True
+            self.timer.tic()
+            self.state, metrics = self._chunk(n)(self.state, self.data)
+            jax.block_until_ready(self.state.params["warp"])
+            self.timer.toc(n)
             chunk_idx += 1
+            if profiling and chunk_idx >= 1 + profile_chunks:
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info(f"profiler trace written to {self.opt.output_path}/profile")
             self.it += n
             # every step of every chunk is checked (the reference asserts
             # per-iteration, model/planar.py:181-182): a transient NaN
@@ -316,6 +316,9 @@ class Model:
             pbar.update(n)
             pbar.set_postfix(**postfix)
         pbar.close()
+        if profiling:
+            jax.profiler.stop_trace()
+            log.info(f"profiler trace written to {self.opt.output_path}/profile")
 
         if self.opt.get("save_checkpoint", True):
             ckpt_lib.save_checkpoint(self.opt.output_path, self.state)
