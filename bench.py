@@ -113,7 +113,7 @@ def main():
     log(f"bench case: {CASE}, dataset: {dataset}, device: {jax.devices()[0]}")
 
     chunk = m._chunk(CHUNK)
-    state, data = m.state, m.data
+    state, data = m.state, m.train_data
 
     # warmup: compile + first chunk(s)
     for _ in range(WARMUP_CHUNKS):

@@ -50,6 +50,7 @@ class Model:
         self.cfg = PlanarConfig.from_options(opt)
         self.mesh = None
         self.data_axis = None
+        self.shard_fused = False
         n_dev = self._resolve_n_devices()
         if n_dev > 1:
             from marf_tpu.parallel.mesh import choose_pixel_axis, make_mesh
@@ -65,12 +66,22 @@ class Model:
             from marf_tpu.models.planar import use_fused_implicit, use_fused_step
 
             if use_fused_step(self.cfg) or use_fused_implicit(self.cfg):
-                # the Pallas kernel is a single-chip program; under a mesh the
-                # XLA path is GSPMD-partitioned instead (parallel/mesh.py docstring)
-                import dataclasses
+                from marf_tpu.parallel.shard_fused import fused_shardable
 
-                log.info(f"multi-chip mesh ({n_dev} devices): using the GSPMD-partitioned XLA step")
-                self.cfg = dataclasses.replace(self.cfg, fused_step="off")
+                if fused_shardable(self.cfg, n_dev):
+                    # GSPMD cannot partition a pallas_call — shard_map runs
+                    # the unchanged kernel per pixel shard with ICI psums
+                    # (parallel/shard_fused.py)
+                    self.shard_fused = True
+                    log.info(
+                        f"multi-chip mesh ({n_dev} devices): fused kernel under "
+                        "shard_map (per-shard Pallas + ICI psum)"
+                    )
+                else:
+                    import dataclasses
+
+                    log.info(f"multi-chip mesh ({n_dev} devices): using the GSPMD-partitioned XLA step")
+                    self.cfg = dataclasses.replace(self.cfg, fused_step="off")
         self.batch_size = self.cfg.batch_size
         self.dataset = opt.get("dataset")
         os.makedirs(opt.output_path, exist_ok=True)
@@ -87,8 +98,15 @@ class Model:
         self.vis_it = 0
         self._step_fn = None
         self._chunks = {}
+        self._train_data = None
         self._forward_jit = None
         self._render_jit = None
+
+    @property
+    def train_data(self) -> dict:
+        """The dict the compiled chunk consumes: flat sharded streams under
+        shard_fused, the dataset dict otherwise."""
+        return self._train_data if self._train_data is not None else self.data
 
     def _resolve_n_devices(self) -> int:
         """Mesh size: env MARF_DEVICES > --tpu.n_devices > 'auto'.
@@ -134,7 +152,10 @@ class Model:
         if self.mesh is not None:
             from marf_tpu.parallel.mesh import shard_planar_data
 
-            self.data = shard_planar_data(raw, self.mesh, self.data_axis)
+            # shard_fused trains on the flat streams (_build_compiled);
+            # self.data then only feeds vis and stays replicated
+            axis = None if self.shard_fused else self.data_axis
+            self.data = shard_planar_data(raw, self.mesh, axis)
         else:
             self.data = device_put_dataset(raw)
 
@@ -233,6 +254,10 @@ class Model:
                 self.data["mask_head_inputs_cf"] = inputs_cf
             else:
                 self.data["mask_head_inputs_cf"] = jax.device_put(inputs_cf)
+        if self.shard_fused and self._train_data is None:
+            from marf_tpu.parallel.shard_fused import flatten_planar_data, shard_flat_data
+
+            self._train_data = shard_flat_data(flatten_planar_data(self.data, cfg), self.mesh)
         self._step_fn = make_train_step(cfg, self.tx, use_homographies=self.use_homographies)
 
         def forward(params, data, progress):
@@ -252,7 +277,15 @@ class Model:
 
     def _chunk(self, n: int):
         if n not in self._chunks:
-            self._chunks[n] = make_train_chunk(self._step_fn, n)
+            if self.shard_fused:
+                from marf_tpu.parallel.shard_fused import make_fused_sharded_chunk
+
+                self._chunks[n] = make_fused_sharded_chunk(
+                    self.cfg, self.tx, self.mesh, tuple(self._train_data.keys()),
+                    n, use_homographies=self.use_homographies,
+                )
+            else:
+                self._chunks[n] = make_train_chunk(self._step_fn, n)
         return self._chunks[n]
 
     # ------------------------------------------------------------------ train
@@ -286,7 +319,7 @@ class Model:
                 jax.profiler.start_trace(f"{self.opt.output_path}/profile")
                 profiling = True
             self.timer.tic()
-            self.state, metrics = self._chunk(n)(self.state, self.data)
+            self.state, metrics = self._chunk(n)(self.state, self.train_data)
             jax.block_until_ready(self.state.params["warp"])
             self.timer.toc(n)
             chunk_idx += 1

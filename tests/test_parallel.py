@@ -75,6 +75,47 @@ def test_sharded_step_matches_single_device(rng, use_implicit_mask):
     np.testing.assert_allclose(w8, w1, rtol=2e-4, atol=2e-6)
 
 
+def test_fused_shardmap_matches_single_device_fused(rng):
+    """The fused Pallas kernel under shard_map (parallel/shard_fused.py):
+    per-shard kernel + psum'd grads must equal the single-device fused step."""
+    from marf_tpu.parallel.shard_fused import fused_shardable, make_fused_sharded_setup
+
+    cfg = mesh_cfg(
+        fused_step="on",
+        fused_warp="on",
+        arch=NeuralImageConfig(layers=(None, 32, 32, 3), posenc_L=4, barf_c2f=(0, 0.4)),
+    )
+    assert fused_shardable(cfg, 8)  # 3*24*32 = 2304 divisible by 8
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    raw = fake_data(cfg, rng)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+
+    state1 = init_train_state(params, tx)
+    chunk1 = make_train_chunk(make_train_step(cfg, tx), 3, donate=False)
+    s1, m1 = chunk1(state1, raw)
+
+    mesh = make_mesh(8)
+    state8, data8, chunk8 = make_fused_sharded_setup(
+        cfg, tx, mesh, raw, params, n_steps=3, donate=False
+    )
+    assert not data8["rgb_cf"].sharding.is_fully_replicated
+    s8, m8 = chunk8(state8, data8)
+
+    for key in ("all", "loss_rgb", "loss_edge", "PSNR", "Homography_Error"):
+        np.testing.assert_allclose(
+            np.asarray(m8[key]), np.asarray(m1[key]), rtol=2e-5, atol=1e-7, err_msg=key
+        )
+    np.testing.assert_allclose(
+        np.asarray(s8.params["warp"]), np.asarray(s1.params["warp"]), rtol=2e-4, atol=2e-6
+    )
+    for li in range(len(cfg.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s8.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s1.params["neural_image"]["mlp"][li]["w"]),
+            rtol=2e-4, atol=2e-6, err_msg=f"layer {li}",
+        )
+
+
 def test_sharded_width_axis(rng):
     """h not divisible by 8 -> width sharding path."""
     cfg = mesh_cfg(H=60, W=64, patch_H=30, patch_W=32)
@@ -136,6 +177,45 @@ def test_trainer_multichip_equals_single_device(tmp_path):
     for tag, row in report.items():
         assert row["status"] == "ok", (tag, row)
         assert row["max_abs_diff"] < 2e-3, (tag, row)
+
+
+def test_trainer_multichip_shard_fused(tmp_path):
+    """With the fused kernel forced on, the trainer's mesh path routes
+    through shard_map (per-shard Pallas + ICI psum) instead of disabling the
+    kernel — and matches the single-device fused run."""
+    from tests.test_train_integration import make_opt, run_lifecycle
+
+    def fused_opt(name):
+        o = make_opt(tmp_path, name=name, max_iter=20, output_path=str(tmp_path / name))
+        o.tpu.fused_step = "on"
+        o.tpu.fused_warp = "on"
+        return o
+
+    m1 = run_lifecycle(fused_opt("fused1"))
+    opt8 = fused_opt("fused8")
+    opt8.tpu.n_devices = 8
+    m8 = run_lifecycle(opt8)
+
+    assert m8.shard_fused
+    assert not m8.train_data["rgb_cf"].sharding.is_fully_replicated
+    # psum changes the dW summation order vs the single-chip scratch
+    # accumulator, so trajectories decouple at f32 rounding level (measured
+    # ~6e-5 on warp after 20 iters — same class as PARITY.md's rounding-chaos
+    # band; a wrong gradient would diverge to 1e-2+ within a few steps)
+    np.testing.assert_allclose(
+        np.asarray(m8.state.params["warp"]), np.asarray(m1.state.params["warp"]),
+        rtol=2e-3, atol=2e-4,
+    )
+    import sys
+
+    sys.path.insert(0, "tools")
+    from compare_runs import compare, load_scalars
+
+    report = compare(load_scalars(m1.opt.output_path), load_scalars(m8.opt.output_path))
+    assert report, "no TB curves found to compare"
+    for tag, row in report.items():
+        assert row["status"] == "ok", (tag, row)
+        assert row["max_abs_diff"] < 5e-3, (tag, row)
 
 
 def test_2d_mesh_batch_x_pixel(rng):
