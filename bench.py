@@ -52,6 +52,7 @@ FUSED_WARP = os.environ.get("MARF_BENCH_FUSED_WARP", "auto")
 # BASELINE.md evaluation configs (reference script.py case table)
 CASES = {
     "canonical": {},
+    "fullposenc": dict(_no_c2f=True),  # BASELINE eval config 1: posenc without c2f
     "edges_only": dict(use_masks=False, alpha_initial=1.0, alpha_final=1.0),
     "noposenc": dict(_no_posenc=True, _no_c2f=True),
     "implicit": dict(use_masks=False, use_implicit_mask=True),
