@@ -83,10 +83,11 @@ def test_fused_step_alpha_schedule(rng):
     )
 
 
-def test_fused_step_no_posenc(rng):
+@pytest.mark.parametrize("fused_warp", ["off", "on"])
+def test_fused_step_no_posenc(rng, fused_warp):
     """L=0 path: the kernel's encoding block is just the aligned [x, y] rows."""
     arch = NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=None)
-    off, on = cfg_pair(arch=arch)
+    off, on = cfg_pair(arch=arch, fused_warp=fused_warp)
     data = fake_data(off, rng)
     s_off, m_off = run_steps(off, data)
     s_on, m_on = run_steps(on, data)
