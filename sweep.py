@@ -31,6 +31,12 @@ CASES = {
     5: dict(name="masks_edges_alpha_1to0", use_masks=True, use_edges=True, alpha_initial=1.0, alpha_final=0.0),
     6: dict(name="masks_edges_alpha05", use_masks=True, use_edges=True, alpha_initial=0.5, alpha_final=0.5),
     7: dict(name="plain", use_masks=False, use_edges=False),
+    # Cases 8/9 run implicit masks WITHOUT ground-truth masks — a config the
+    # reference cannot actually run (its log_scalars computes Mask_Error from
+    # images.masks unconditionally whenever use_implicit_mask and crashes on
+    # masks=None, reference model/planar.py:238-242 + :74); here Mask_Error
+    # is simply skipped when no GT masks exist. Add use_masks=True to either
+    # case for the reference-runnable variant with the Mask_Error curve.
     8: dict(name="implicit_masks", use_masks=False, use_implicit_mask=True, use_edges=False),
     9: dict(name="implicit_masks_edges", use_masks=False, use_implicit_mask=True, use_edges=True,
             alpha_initial=0.0, alpha_final=1.0),
