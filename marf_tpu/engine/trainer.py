@@ -305,9 +305,31 @@ class Model:
         profile_chunks = int(self.opt.get("profile") or 0)  # trace the first N post-compile chunks
 
         pbar = tqdm.tqdm(total=max_iter, desc="Training", leave=False, initial=self.it)
+        try:
+            self._train_loop(pbar, c, max_iter, freq, profile_chunks)
+        finally:
+            pbar.close()
+            if self._profiling:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                log.info(f"profiler trace written to {self.opt.output_path}/profile")
+
+        if self.opt.get("save_checkpoint", True):
+            ckpt_lib.save_checkpoint(self.opt.output_path, self.state)
+        self._mux_video()
+        if self.tb:
+            self.tb.flush()
+            self.tb.close()
+        log.info(f"mean steps/sec: {self.timer.steps_per_sec:.2f}")
+        log.title("TRAINING DONE")
+
+    def _train_loop(self, pbar, c, max_iter, freq, profile_chunks):
+        """The chunked training loop body. An in-flight profiler trace is
+        tracked on self._profiling so train()'s finally clause always closes
+        it, even when the per-step finite check raises mid-chunk."""
+        self._profiling = False
         postfix = {}
         chunk_idx = 0
-        profiling = False
         while self.it < max_iter:
             n = min(c, max_iter - self.it)
             # profile as a pure overlay on the normal loop: the trace spans
@@ -317,15 +339,15 @@ class Model:
             # with tensorboard --logdir <output>/profile)
             if profile_chunks and chunk_idx == 1:
                 jax.profiler.start_trace(f"{self.opt.output_path}/profile")
-                profiling = True
+                self._profiling = True
             self.timer.tic()
             self.state, metrics = self._chunk(n)(self.state, self.train_data)
             jax.block_until_ready(self.state.params["warp"])
             self.timer.toc(n)
             chunk_idx += 1
-            if profiling and chunk_idx >= 1 + profile_chunks:
+            if self._profiling and chunk_idx >= 1 + profile_chunks:
                 jax.profiler.stop_trace()
-                profiling = False
+                self._profiling = False
                 log.info(f"profiler trace written to {self.opt.output_path}/profile")
             self.it += n
             # every step of every chunk is checked (the reference asserts
@@ -348,19 +370,6 @@ class Model:
                 ckpt_lib.save_checkpoint(self.opt.output_path, self.state)
             pbar.update(n)
             pbar.set_postfix(**postfix)
-        pbar.close()
-        if profiling:
-            jax.profiler.stop_trace()
-            log.info(f"profiler trace written to {self.opt.output_path}/profile")
-
-        if self.opt.get("save_checkpoint", True):
-            ckpt_lib.save_checkpoint(self.opt.output_path, self.state)
-        self._mux_video()
-        if self.tb:
-            self.tb.flush()
-            self.tb.close()
-        log.info(f"mean steps/sec: {self.timer.steps_per_sec:.2f}")
-        log.title("TRAINING DONE")
 
     # ------------------------------------------------------------ observability
 

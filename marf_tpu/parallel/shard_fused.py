@@ -55,11 +55,19 @@ from marf_tpu.parallel.mesh import DATA_AXIS, replicate
 def fused_shardable(cfg: PlanarConfig, n_devices: int) -> bool:
     """Whether the fused kernel can run under the pixel-sharded mesh:
     the fixed/no-mask configs (the implicit head keeps the GSPMD path) with
-    the flat pixel axis divisible by the mesh."""
+    the flat pixel axis divisible by the mesh and B within the v5 kernel's
+    padded image axis (the single-chip gate in engine/step.py falls back to
+    v4 for B > PB; this path has no v4 leg, so it must decline instead)."""
     from marf_tpu.models.planar import use_fused_step
+    from marf_tpu.ops.pallas.fused_step import PB
 
     h, w = cfg.map_hw
-    return use_fused_step(cfg) and cfg.fused_warp != "off" and (cfg.batch_size * h * w) % n_devices == 0
+    return (
+        use_fused_step(cfg)
+        and cfg.fused_warp != "off"
+        and cfg.batch_size <= PB
+        and (cfg.batch_size * h * w) % n_devices == 0
+    )
 
 
 def flatten_planar_data(data: dict, cfg: PlanarConfig) -> dict:
@@ -199,6 +207,12 @@ def make_fused_sharded_chunk(
         mesh=mesh,
         in_specs=(P(), data_specs),  # P() prefix: every state leaf replicated
         out_specs=(P(), P()),
+        # check_vma must stay off: the body calls pallas_call, whose
+        # out_shape ShapeDtypeStructs carry no `vma` (varying-manual-axes)
+        # metadata, so the checker rejects the kernel outright ("vma on
+        # ShapeDtypeStruct must not be None", jax pallas_call.py) — it is not
+        # a spec problem on our side. Numerical equality vs the single-chip
+        # fused step is covered by tests/test_parallel.py instead.
         check_vma=False,
     )
     return jax.jit(sharded_chunk, donate_argnums=(0,) if donate else ())
