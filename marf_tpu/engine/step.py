@@ -198,7 +198,9 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             masks_cf = jnp.ones((1, N), dtype=jnp.float32)
         inv_sum3 = 1.0 / (jnp.sum(masks_cf) * 3.0)
 
-        if cfg.fused_warp != "off" and B <= 8:
+        from marf_tpu.ops.pallas.fused_step import PB
+
+        if cfg.fused_warp != "off" and B <= PB:
             # v5: warp + its VJP in-kernel — only the tiny 3x3 expm (and its
             # VJP) stay in XLA; the per-point HBM streams shrink to the
             # constant (u, v, b) grid + targets/masks
@@ -254,22 +256,29 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         return total, loss, outputs, grads
 
     def _fused_implicit_grads(state, data, progress, step):
-        """Fused kernel pipeline for the implicit-mask configs: mask head
-        forward (factored Pallas kernel, ops/pallas/fused_mask.py) -> rgb via
-        the fused train kernel masked by the predicted m -> elementwise XLA
-        cotangent dL/dm (global masked-MSE normalization,
-        reference model/planar.py:388-390) -> mask head backward kernel."""
+        """Fused two-kernel pipeline for the implicit-mask configs
+        (ops/pallas/fused_mask.py, round-3 design):
+
+        kernel A = mask-head forward + rgb posenc/MLP fwd + loss partials +
+        full rgb backward in ONE pass, run with the UNNORMALIZED cotangent
+        2*C_rgb*(rgb-t)*m^2 — the masked-MSE normalization 1/(3*sum(m))
+        (reference model/planar.py:388-390) needs the global mask sum the
+        kernel itself produces, so by dscale linearity it is applied to the
+        returned grads/loss afterwards. kernel B = mask-head backward with
+        the cotangent dL/dm = (a*sq + b*esq + c)*m + k computed in-kernel
+        from per-point squared errors + 4 scalars (derivation below). Both
+        kernels are head-blocked, so per-image heads (build_single_masks,
+        reference model/planar.py:322-324) run as one B-blocked grid."""
         from marf_tpu.ops.filters import compute_edges
         from marf_tpu.ops.grid import normalized_pixel_grid
         from marf_tpu.ops.pallas.fused_mask import (
             build_mask_x,
             factor_mask_inputs,
-            fused_mask_backward,
-            fused_mask_forward,
-            mask_w_stack,
+            fused_implicit_train_kernel,
+            fused_mask_backward_g,
+            mask_w_stack_batched,
             unfactor_mask_grads,
         )
-        from marf_tpu.ops.pallas.fused_step import fused_train_kernel
         from marf_tpu.ops.posenc import barf_c2f_weights
         from marf_tpu.ops.warp import warp_grid_cf_flat
 
@@ -279,38 +288,43 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         HW = h * w
         N = B * HW
         cdtype = cfg.arch.compute_dtype
+        n_heads = B if cfg.build_single_masks else 1
         alpha = (
             alpha_schedule(step, cfg.max_iter, cfg.alpha_initial, cfg.alpha_final)
             if cfg.use_edges
             else jnp.asarray(0.0, dtype=jnp.float32)
         )
         grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+        if not cfg.build_single_masks and "mask_Xall" in data:
+            return _fused_implicit_dedup_grads(state, data, progress, step, alpha, grid)
 
-        # ---- mask head forward (inputs are constants: frozen view embedding;
-        # the engine precomputes X, with an inline traced fallback)
+        # ---- factored mask inputs (constants: frozen view embedding; the
+        # engine precomputes X, with an inline traced fallback)
         if "mask_X" in data:
             X, table = data["mask_X"], data["mask_table"]
         else:
             uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
             X = build_mask_x(uv, onehot, cfg.build_single_masks)
         if cfg.build_single_masks:
-            stacks = [
-                mask_w_stack(jax.tree.map(lambda a, b=b: a[b], params["implicit_mask"]), table)
-                for b in range(B)
-            ]
-            m_flat = jnp.concatenate(
-                [fused_mask_forward(stacks[b], X[b], cdtype) for b in range(B)], axis=1
-            )  # [1, B*HW]
+            X_flat = X.transpose(1, 0, 2).reshape(X.shape[1], N)  # [X_ROWS, B*HW]
         else:
-            stack = mask_w_stack(params["implicit_mask"], table)
-            m_flat = fused_mask_forward(stack, X, cdtype)
+            X_flat = X
+        stacks = mask_w_stack_batched(params["implicit_mask"], table, n_heads)
 
-        # ---- rgb via the fused train kernel, masked by the predicted m
-        # (the kernel's cotangent 2*C*(p-t)*m^2*inv_sum3 is exact for any
-        # mask values; m is a constant w.r.t. the neural image)
-        g_loss_scale = (10.0 ** float(cfg.w_render)) * (1.0 - alpha)
+        # ---- loss-term coefficients: total = sum_k 10^w_k * loss_k with
+        # render = (1-alpha)*rgb + 0.5*mask + alpha*edge (model/planar.py:371-374)
+        w_render = 10.0 ** float(cfg.w_render)
+        C_r = w_render * (1.0 - alpha)
         if cfg.w_rgb is not None:
-            g_loss_scale = g_loss_scale + (10.0 ** float(cfg.w_rgb))
+            C_r = C_r + 10.0 ** float(cfg.w_rgb)
+        C_e = w_render * alpha
+        if cfg.w_edge is not None:
+            C_e = C_e + 10.0 ** float(cfg.w_edge)
+        C_m = w_render * 0.5
+        if cfg.w_mask is not None:
+            C_m = C_m + 10.0 ** float(cfg.w_mask)
+
+        # ---- kernel A
         coords_cf, warp_vjp = jax.vjp(lambda wp: warp_grid_cf_flat(grid, wp), params["warp"])
         cw = (
             barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), cfg.arch.posenc_L)
@@ -318,12 +332,15 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             else None
         )
         targets_cf = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
-        inv_sum3 = 1.0 / (jnp.sum(m_flat) * 3.0)
-        rgb_cf, _, dmlp, dcoords_cf = fused_train_kernel(
-            params["neural_image"], coords_cf, cw, targets_cf, m_flat,
-            g_loss_scale, inv_sum3, cfg.arch,
+        rgb_cf, m_flat, sq, dcoords_u, msum, loss_unnorm, dmlp_u = fused_implicit_train_kernel(
+            params["neural_image"], stacks, coords_cf, X_flat, cw, targets_cf,
+            2.0 * C_r, cfg.arch, n_heads,
         )
-        dwarp = warp_vjp(dcoords_cf)[0]
+        inv_sum3 = 1.0 / (msum * 3.0)
+        rgb_loss = loss_unnorm * inv_sum3
+        dmlp = jax.tree.map(lambda g: g * inv_sum3, dmlp_u)
+        dwarp = jax.tree.map(lambda g: g * inv_sum3, warp_vjp(dcoords_u)[0])
+
         rgb_map = rgb_cf.reshape(3, B, h, w).transpose(1, 0, 2, 3)
         outputs = {
             "rgb_prediction": rgb_cf.reshape(3, B, HW).transpose(1, 2, 0),
@@ -332,45 +349,229 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             "mask_prediction_map": m_flat.reshape(1, B, h, w).transpose(1, 0, 2, 3),
         }
 
-        # ---- loss terms + dL/dm (elementwise over [1, N] + reductions; the
-        # edge maps are gradient-blocked, reference inputs.py:50-69 .detach())
-        sq = jnp.sum((rgb_cf - targets_cf) ** 2, axis=0, keepdims=True)  # [1, N]
+        # ---- remaining loss terms (the edge maps are gradient-blocked,
+        # reference inputs.py:50-69 .detach(), so this stays out of kernel A).
+        # The conv runs CHANNELS-FIRST on [3, B, h, w] (image axis as conv
+        # channels — the depthwise filter makes that equivalent): rgb_cf
+        # reshapes for free, with NO transpose copy. Besides being faster,
+        # this dodges a measured XLA miscompile: the materialized
+        # slice+transpose copy of kernel A's rgb output produced NaN in a
+        # layout-periodic column band (cols 109-239 of every row) whenever
+        # kernel B consumed the conv-derived esq downstream — fully
+        # reproduced and bisected on v5e (round 3; /tmp/r3dbg repros).
         if cfg.use_edges:
-            edge_pred = compute_edges(rgb_map, differentiable=False)
-            outputs["edge_prediction"] = edge_pred
-            esq = jnp.sum((edge_pred - data["edges"]) ** 2, axis=1).reshape(1, N)
+            edge_pred_cf = compute_edges(rgb_cf.reshape(3, B, h, w), differentiable=False)
+            outputs["edge_prediction"] = edge_pred_cf.transpose(1, 0, 2, 3)
+            edges_cf = data["edges"].transpose(1, 0, 2, 3)
+            esq = jnp.sum((edge_pred_cf - edges_cf) ** 2, axis=0).reshape(1, N)
+            edge_loss = jnp.sum(m_flat * m_flat * esq) * inv_sum3
         else:
             esq = None
+            edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        mask_loss = jnp.mean((1.0 - m_flat) ** 2)
+        loss = {
+            "render": render_loss(rgb_loss, edge_loss, mask_loss, alpha),
+            "rgb": rgb_loss,
+            "mask": mask_loss,
+            "edge": edge_loss,
+        }
+        total = summarize_loss(loss, cfg.loss_weight)
 
-        def loss_of_m(m):
-            s3 = jnp.sum(m) * 3.0
-            rgb_l = jnp.sum(m * m * sq) / s3
-            edge_l = (
-                jnp.sum(m * m * esq) / s3 if esq is not None else jnp.asarray(0.0, dtype=jnp.float32)
-            )
-            mask_l = jnp.mean((1.0 - m) ** 2)
-            loss = {
-                "render": render_loss(rgb_l, edge_l, mask_l, alpha),
-                "rgb": rgb_l,
-                "mask": mask_l,
-                "edge": edge_l,
-            }
-            return summarize_loss(loss, cfg.loss_weight), loss
-
-        (total, loss), g_m = jax.value_and_grad(loss_of_m, has_aux=True)(m_flat)
-
-        # ---- mask head backward
+        # ---- kernel B: dL/dm_i = C_r*(2 m_i sq_i - 3 rgb_l)/(3 sum m)
+        #   + C_e*(2 m_i esq_i - 3 edge_l)/(3 sum m) + C_m*2(m_i - 1)/N
+        # = (a*sq_i + b*esq_i + c)*m_i + k with the scalars below.
+        a_s = 2.0 * C_r * inv_sum3
+        b_s = 2.0 * C_e * inv_sum3 if esq is not None else jnp.asarray(0.0, jnp.float32)
+        c_s = jnp.asarray(2.0 * C_m / N, jnp.float32)
+        k_s = -3.0 * inv_sum3 * (C_r * rgb_loss + C_e * edge_loss) - 2.0 * C_m / N
+        gscalars = jnp.stack([
+            jnp.asarray(a_s, jnp.float32),
+            jnp.asarray(b_s, jnp.float32),
+            c_s,
+            jnp.asarray(k_s, jnp.float32),
+        ])
+        dstacks = fused_mask_backward_g(stacks, X_flat, sq, esq, gscalars, cdtype, n_heads)
         if cfg.build_single_masks:
-            dheads = [
-                unfactor_mask_grads(
-                    fused_mask_backward(stacks[b], X[b], g_m[:, b * HW : (b + 1) * HW], cdtype),
-                    table,
-                )
-                for b in range(B)
-            ]
-            dmask = jax.tree.map(lambda *xs: jnp.stack(xs), *dheads)
+            dmask = jax.vmap(lambda dl: unfactor_mask_grads(dl, table))(dstacks)
         else:
-            dmask = unfactor_mask_grads(fused_mask_backward(stack, X, g_m, cdtype), table)
+            dmask = unfactor_mask_grads(
+                [jax.tree.map(lambda a: a[0], layer) for layer in dstacks], table
+            )
+        grads = {
+            "neural_image": dmlp,
+            "warp": dwarp,
+            "implicit_mask": dmask,
+            "view_embedding": jnp.zeros_like(params["view_embedding"]),
+        }
+        return total, loss, outputs, grads
+
+    def _fused_implicit_dedup_grads(state, data, progress, step, alpha, grid):
+        """Shared-head implicit pipeline on DEDUPLICATED mask columns
+        (round 3 v2, ops/pallas/fused_mask.py `slot_dedup_inputs`):
+
+        The faithful {0,1} quantization leaves only K unique (pixel, combo)
+        input columns (K ~ 1.03*HW vs N = B*HW on cat_batch3 — a 4.84x
+        exact mask-head FLOP cut). Columns are laid out slot0+extras so the
+        position<->column mapping is dense: slot0 (each pixel's majority
+        combo) aligns with the per-position [B, HW] streams — its m-scatter
+        and sq/esq segment-sums are broadcast multiplies with the constant
+        {0,1} slot0map — while the E (~1.5k) extra columns use E-sized
+        scatter-add/gathers. The chain: mask fwd kernel on the HW+E columns
+        -> dense expansion of m to positions -> the flagship rgb train
+        kernel (v5/v4, ops/pallas/fused_step.py) masked by m ->
+        gradient-blocked edge conv -> dense per-column segment sums ->
+        mask bwd kernel with the in-kernel cotangent
+        G_k = (a*Ssq + b*Sesq + c*cnt)*m + k*cnt — the exact groupby of
+        dL/dm_i over a column's positions (dW = sum_i d_i a_i^T groups by
+        identical a_i). Loss semantics identical to the reference
+        (model/planar.py:355-390); see _fused_implicit_grads for the
+        coefficient derivation."""
+        from marf_tpu.ops.filters import compute_edges
+        from marf_tpu.ops.pallas.fused_mask import (
+            fused_mask_backward_g,
+            fused_mask_forward,
+            mask_w_stack,
+            mask_w_stack_batched,
+            unfactor_mask_grads,
+        )
+        from marf_tpu.ops.pallas.fused_step import PB, fused_train_kernel
+        from marf_tpu.ops.posenc import barf_c2f_weights
+        from marf_tpu.ops.warp import warp_grid_cf_flat
+
+        params = state.params
+        h, w = cfg.map_hw
+        B = cfg.batch_size
+        HW = h * w
+        N = B * HW
+        cdtype = cfg.arch.compute_dtype
+
+        X_all = data["mask_Xall"]  # [X_ROWS, HW+E]
+        slot0map = data["mask_slot0map"]  # [B, HW] {0,1}
+        ext_pix = data["mask_ext_pix"]  # [E] int32
+        extmap = data["mask_extmap"]  # [B, E] {0,1}
+        cnt_all = data["mask_cntall"]  # [1, HW+E]
+        table = data["mask_table"]
+        E = ext_pix.shape[0]
+
+        w_render = 10.0 ** float(cfg.w_render)
+        C_r = w_render * (1.0 - alpha)
+        if cfg.w_rgb is not None:
+            C_r = C_r + 10.0 ** float(cfg.w_rgb)
+        C_e = w_render * alpha
+        if cfg.w_edge is not None:
+            C_e = C_e + 10.0 ** float(cfg.w_edge)
+        C_m = w_render * 0.5
+        if cfg.w_mask is not None:
+            C_m = C_m + 10.0 ** float(cfg.w_mask)
+
+        # ---- mask forward on the deduplicated columns, dense expansion to
+        # positions: each position (b, p) has exactly one active column, so
+        # m[b, p] = slot0map[b,p]*m0[p] + sum_j extmap[b,j]*[p==ext_pix[j]]*m_e[j]
+        stack = mask_w_stack(params["implicit_mask"], table)
+        m_all = fused_mask_forward(stack, X_all, cdtype)  # [1, HW+E]
+        m0 = m_all[:, :HW]
+        m_pos = slot0map * m0  # [B, HW] broadcast
+        if E:
+            m_e = m_all[0, HW:]
+            m_pos = m_pos.at[:, ext_pix].add(extmap * m_e[None, :])
+        m_flat = m_pos.reshape(1, N)
+        msum = jnp.dot(cnt_all[0], m_all[0])
+        inv_sum3 = 1.0 / (msum * 3.0)
+
+        # ---- rgb via the flagship train kernel, masked by the predicted m
+        # (its cotangent 2C(p-t)m^2*inv_sum3 is exact for any mask values)
+        cw = (
+            barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), cfg.arch.posenc_L)
+            if (cfg.arch.posenc_L and cfg.arch.barf_c2f is not None)
+            else None
+        )
+        targets_cf = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
+        if cfg.fused_warp != "off" and B <= PB:
+            from marf_tpu.ops.pallas.fused_step import fused_train_kernel_warp
+
+            uv = grid.T  # [2, HW] constant
+            grid_b = jnp.concatenate(
+                [
+                    jnp.tile(uv, (1, B)),
+                    jnp.repeat(jnp.arange(B, dtype=jnp.float32), uv.shape[1])[None, :],
+                ],
+                axis=0,
+            )  # [3, N] constant
+            H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
+            rgb_cf, rgb_loss, dmlp, dH = fused_train_kernel_warp(
+                params["neural_image"], grid_b, H, cw, targets_cf, m_flat,
+                C_r, inv_sum3, cfg.arch,
+            )
+            dwarp = expm_vjp(dH)[0]
+        else:
+            coords_cf, warp_vjp = jax.vjp(
+                lambda wp: warp_grid_cf_flat(grid, wp), params["warp"]
+            )
+            rgb_cf, rgb_loss, dmlp, dcoords_cf = fused_train_kernel(
+                params["neural_image"], coords_cf, cw, targets_cf, m_flat,
+                C_r, inv_sum3, cfg.arch,
+            )
+            dwarp = warp_vjp(dcoords_cf)[0]
+
+        rgb_map = rgb_cf.reshape(3, B, h, w).transpose(1, 0, 2, 3)
+        outputs = {
+            "rgb_prediction": rgb_cf.reshape(3, B, HW).transpose(1, 2, 0),
+            "rgb_prediction_map": rgb_map,
+            "mask_prediction": m_flat.reshape(1, B, HW).transpose(1, 2, 0),
+            "mask_prediction_map": m_flat.reshape(1, B, h, w).transpose(1, 0, 2, 3),
+        }
+
+        # ---- remaining loss terms (edge conv channels-first: no transpose
+        # copy, and dodges the XLA slice+transpose miscompile — see
+        # _fused_implicit_grads)
+        sq = jnp.sum((rgb_cf - targets_cf) ** 2, axis=0, keepdims=True)  # [1, N]
+        if cfg.use_edges:
+            edge_pred_cf = compute_edges(rgb_cf.reshape(3, B, h, w), differentiable=False)
+            outputs["edge_prediction"] = edge_pred_cf.transpose(1, 0, 2, 3)
+            edges_cf = data["edges"].transpose(1, 0, 2, 3)
+            esq = jnp.sum((edge_pred_cf - edges_cf) ** 2, axis=0).reshape(1, N)
+            edge_loss = jnp.sum(m_flat * m_flat * esq) * inv_sum3
+        else:
+            esq = None
+            edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        mask_loss = jnp.mean((1.0 - m_flat) ** 2)
+        loss = {
+            "render": render_loss(rgb_loss, edge_loss, mask_loss, alpha),
+            "rgb": rgb_loss,
+            "mask": mask_loss,
+            "edge": edge_loss,
+        }
+        total = summarize_loss(loss, cfg.loss_weight)
+
+        # ---- segment-sum the cotangent streams to column space (dense over
+        # slot0, E-sized gathers for extras) and run kernel B on HW+E columns
+        def seg_sum(v):  # [1, N] -> [1, HW+E] summed over a column's positions
+            vb = v.reshape(B, HW)
+            s0 = jnp.sum(slot0map * vb, axis=0, keepdims=True)  # [1, HW]
+            if not E:
+                return s0
+            se = jnp.sum(extmap * vb[:, ext_pix], axis=0, keepdims=True)  # [1, E]
+            return jnp.concatenate([s0, se], axis=1)
+
+        Ssq = seg_sum(sq)
+        Sesq = seg_sum(esq) if esq is not None else None
+        a_s = 2.0 * C_r * inv_sum3
+        b_s = 2.0 * C_e * inv_sum3 if esq is not None else jnp.asarray(0.0, jnp.float32)
+        c_s = jnp.asarray(2.0 * C_m / N, jnp.float32)
+        k_s = -3.0 * inv_sum3 * (C_r * rgb_loss + C_e * edge_loss) - 2.0 * C_m / N
+        gscalars = jnp.stack([
+            jnp.asarray(a_s, jnp.float32),
+            jnp.asarray(b_s, jnp.float32),
+            c_s,
+            jnp.asarray(k_s, jnp.float32),
+        ])
+        stacks1 = mask_w_stack_batched(params["implicit_mask"], table, 1)
+        dstacks = fused_mask_backward_g(
+            stacks1, X_all, Ssq, Sesq, gscalars, cdtype, 1, cnt_cf=cnt_all
+        )
+        dmask = unfactor_mask_grads(
+            [jax.tree.map(lambda a: a[0], layer) for layer in dstacks], table
+        )
         grads = {
             "neural_image": dmlp,
             "warp": dwarp,

@@ -76,6 +76,10 @@ class PlanarConfig:
     # v5 variant: homography warp + its VJP inside the kernel (only the 3x3
     # expm stays in XLA); 'auto'/'on'/'off' — applies when fused_step runs
     fused_warp: str = "auto"
+    # implicit-mask column deduplication (slot0+extras, ops/pallas/
+    # fused_mask.py slot_dedup_inputs): shared-head single-chip only;
+    # 'auto' = on whenever that pipeline runs
+    fused_dedup: str = "auto"
     # loss weights in log10 scale; None disables a term (planar.yaml:67-71)
     w_render: float | None = 0.0
     w_rgb: float | None = 0.0
@@ -143,6 +147,7 @@ class PlanarConfig:
             mask_quantize_levels=int(tpu_opts.get("mask_quantize_levels", 1)),
             fused_step=tristate("fused_step"),
             fused_warp=tristate("fused_warp"),
+            fused_dedup=tristate("fused_dedup"),
             warp_type=opt.warp.type,
             warp_dof=opt.warp.dof,
             fix_first=bool(opt.warp.get("fix_first", True)),

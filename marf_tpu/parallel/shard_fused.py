@@ -53,15 +53,22 @@ from marf_tpu.parallel.mesh import DATA_AXIS, replicate
 
 
 def fused_shardable(cfg: PlanarConfig, n_devices: int) -> bool:
-    """Whether the fused kernel can run under the pixel-sharded mesh:
-    the fixed/no-mask configs (the implicit head keeps the GSPMD path) with
-    the flat pixel axis divisible by the mesh and B within the v5 kernel's
-    padded image axis (the single-chip gate in engine/step.py falls back to
-    v4 for B > PB; this path has no v4 leg, so it must decline instead)."""
-    from marf_tpu.models.planar import use_fused_step
+    """Whether a fused Pallas pipeline can run under the pixel-sharded mesh.
+
+    Fixed/no-mask configs: the flat pixel axis must divide over the mesh and
+    B must fit the v5 kernel's padded image axis (the single-chip gate in
+    engine/step.py falls back to v4 for B > PB; this path has no v4 leg, so
+    it must decline instead). Implicit-mask configs: the two-kernel implicit
+    pipeline shards too (round 3) — per-image heads need whole heads per
+    device (B % n_devices == 0), the shared head only column divisibility."""
+    from marf_tpu.models.planar import use_fused_implicit, use_fused_step
     from marf_tpu.ops.pallas.fused_step import PB
 
     h, w = cfg.map_hw
+    if use_fused_implicit(cfg):
+        if cfg.build_single_masks:
+            return cfg.batch_size % n_devices == 0
+        return (cfg.batch_size * h * w) % n_devices == 0
     return (
         use_fused_step(cfg)
         and cfg.fused_warp != "off"
@@ -70,12 +77,17 @@ def fused_shardable(cfg: PlanarConfig, n_devices: int) -> bool:
     )
 
 
-def flatten_planar_data(data: dict, cfg: PlanarConfig) -> dict:
+def flatten_planar_data(data: dict, cfg: PlanarConfig, params: dict | None = None) -> dict:
     """Build the flat channels-first streams the kernel consumes.
 
-    Returns a dict of [C, N] arrays (rgb_cf/masks_cf/grid_b, shardable on
-    axis 1) plus the replicated full-map targets the edge term needs.
+    Returns a dict of [C, N] arrays (rgb_cf/masks_cf/grid_b/mask_X, shardable
+    on axis 1) plus the replicated full-map targets the edge term needs. For
+    implicit-mask configs the factored head inputs come from data["mask_X"]
+    (the engine precomputes them, trainer._build_compiled) or are built here
+    from `params["view_embedding"]`.
     """
+    from marf_tpu.models.planar import use_fused_implicit
+
     h, w = cfg.map_hw
     B = cfg.batch_size
     N = B * h * w
@@ -91,6 +103,20 @@ def flatten_planar_data(data: dict, cfg: PlanarConfig) -> dict:
     else:
         masks_cf = jnp.ones((1, N), dtype=jnp.float32)
     out = {"rgb_cf": rgb_cf, "masks_cf": masks_cf, "grid_b": grid_b}
+    if use_fused_implicit(cfg):
+        from marf_tpu.ops.pallas.fused_mask import build_mask_x, factor_mask_inputs
+
+        if "mask_X" in data:
+            X, table = data["mask_X"], data["mask_table"]
+        else:
+            uv_emb, onehot, table = factor_mask_inputs(
+                params["view_embedding"], jnp.asarray(data["rgb"], jnp.float32), grid
+            )
+            X = build_mask_x(uv_emb, onehot, cfg.build_single_masks)
+        if cfg.build_single_masks:
+            X = X.transpose(1, 0, 2).reshape(X.shape[1], N)  # [X_ROWS, B*HW]
+        out["mask_X"] = X
+        out["mask_table"] = jnp.asarray(table)
     if cfg.use_edges:
         out["edges"] = jnp.asarray(data["edges"], jnp.float32)
         me = data.get("masks_eroded")
@@ -100,7 +126,7 @@ def flatten_planar_data(data: dict, cfg: PlanarConfig) -> dict:
     return out
 
 
-FLAT_KEYS = ("rgb_cf", "masks_cf", "grid_b")  # sharded on their column axis
+FLAT_KEYS = ("rgb_cf", "masks_cf", "grid_b", "mask_X")  # sharded on their column axis
 
 
 def shard_flat_data(flat: dict, mesh: Mesh) -> dict:
@@ -116,6 +142,22 @@ def shard_flat_data(flat: dict, mesh: Mesh) -> dict:
     return out
 
 
+def _warp_cols(grid_b: jax.Array, warp: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Per-column homography warp for an arbitrary column block: grid_b
+    [3, Nl] rows (u, v, image-index) -> [2, Nl] warped coordinates.
+
+    Same math as ops/warp.warp_grid_cf_flat (x @ H^T, perspective divide
+    +1e-8, reference warp.py:70-81) but indexed per column, so a device's
+    contiguous shard — which may start mid-image — warps locally without
+    materializing the full [2, N] stream. Differentiable w.r.t. warp (the
+    H-gather VJP is a scatter-add over images)."""
+    H = sl3_to_SL3(warp)  # [B, 3, 3]
+    hom = jnp.concatenate([grid_b[:2], jnp.ones_like(grid_b[:1])], axis=0)  # [3, Nl]
+    Hc = H[grid_b[2].astype(jnp.int32)]  # [Nl, 3, 3]
+    warped = jnp.einsum("njk,kn->jn", Hc, hom)  # [3, Nl]
+    return warped[:2] / (warped[2:3] + eps)
+
+
 def make_fused_sharded_chunk(
     cfg: PlanarConfig,
     tx: optax.GradientTransformation,
@@ -126,7 +168,16 @@ def make_fused_sharded_chunk(
     donate: bool = True,
 ):
     """Jitted (replicated TrainState, sharded flat data) -> (state, metrics)
-    chunk running the fused kernel per shard with psum'd gradients."""
+    chunk running the fused kernel per shard with psum'd gradients.
+
+    Dispatches to the implicit-mask pipeline (two kernels + ICI collectives)
+    for implicit configs, the single fused train kernel otherwise."""
+    from marf_tpu.models.planar import use_fused_implicit
+
+    if use_fused_implicit(cfg):
+        return _make_implicit_sharded_chunk(
+            cfg, tx, mesh, data_keys, n_steps, use_homographies, donate
+        )
     h, w = cfg.map_hw
     B = cfg.batch_size
     data_specs = {k: (P(None, DATA_AXIS) if k in FLAT_KEYS else P()) for k in data_keys}
@@ -218,6 +269,213 @@ def make_fused_sharded_chunk(
     return jax.jit(sharded_chunk, donate_argnums=(0,) if donate else ())
 
 
+def _make_implicit_sharded_chunk(
+    cfg: PlanarConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    data_keys,
+    n_steps: int = 1,
+    use_homographies: bool = True,
+    donate: bool = True,
+):
+    """The two-kernel implicit-mask pipeline (ops/pallas/fused_mask.py) under
+    shard_map — round-3 extension closing the "best kernels are single-chip
+    for implicit configs" gap:
+
+    - kernel A runs per shard on the local column block (mask fwd + rgb
+      fwd/bwd, unnormalized cotangent); its per-shard mask-sum / loss
+      partials and dW/db `psum` over ICI, after which every device applies
+      the global 1/(3*sum(m)) normalization identically (dscale linearity —
+      exactly the single-chip recipe, with the sums now global);
+    - the gradient-blocked edge conv runs replicated on an all_gather'ed
+      rgb (~2.6 MB over ICI), each device then slicing its local esq block;
+    - kernel B runs per shard with the globally-derived (a, b, c, k)
+      cotangent scalars; shared-head dW/db partials psum, per-image heads
+      (whole heads per device, B % n_devices == 0) scatter into the full
+      [B, ...] gradient and psum.
+
+    Semantics mirror engine/step.py `_fused_implicit_grads` + `step_fn`
+    exactly (pre-update losses/PSNR/Mask_Error, post-update
+    Homography_Error, fix_first after metrics).
+    """
+    from marf_tpu.ops.pallas.fused_mask import (
+        fused_implicit_train_kernel,
+        fused_mask_backward_g,
+        mask_w_stack_batched,
+        unfactor_mask_grads,
+    )
+
+    h, w = cfg.map_hw
+    B = cfg.batch_size
+    HW = h * w
+    N = B * HW
+    D = int(mesh.shape[DATA_AXIS])
+    Nl = N // D
+    cdtype = cfg.arch.compute_dtype
+    single = cfg.build_single_masks
+    n_heads = B if single else 1
+    Bl = B // D if single else 1
+    n_heads_local = Bl if single else 1
+    compute_mask_error = cfg.use_implicit_mask and cfg.use_masks
+    data_specs = {k: (P(None, DATA_AXIS) if k in FLAT_KEYS else P()) for k in data_keys}
+
+    def step_local(state: TrainState, d: dict):
+        params = state.params
+        step = state.step
+        progress = step.astype(jnp.float32) / cfg.max_iter
+        didx = jax.lax.axis_index(DATA_AXIS)
+        alpha = (
+            alpha_schedule(step, cfg.max_iter, cfg.alpha_initial, cfg.alpha_final)
+            if cfg.use_edges
+            else jnp.asarray(0.0, dtype=jnp.float32)
+        )
+        # loss-term coefficients (engine/step.py:312-323)
+        w_render = 10.0 ** float(cfg.w_render)
+        C_r = w_render * (1.0 - alpha)
+        if cfg.w_rgb is not None:
+            C_r = C_r + 10.0 ** float(cfg.w_rgb)
+        C_e = w_render * alpha
+        if cfg.w_edge is not None:
+            C_e = C_e + 10.0 ** float(cfg.w_edge)
+        C_m = w_render * 0.5
+        if cfg.w_mask is not None:
+            C_m = C_m + 10.0 ** float(cfg.w_mask)
+
+        stacks = mask_w_stack_batched(params["implicit_mask"], d["mask_table"], n_heads)
+        if single:
+            stacks_local = [
+                jax.tree.map(lambda a: jax.lax.dynamic_slice_in_dim(a, didx * Bl, Bl, axis=0), layer)
+                for layer in stacks
+            ]
+        else:
+            stacks_local = stacks
+
+        cw = (
+            barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), cfg.arch.posenc_L)
+            if (cfg.arch.posenc_L and cfg.arch.barf_c2f is not None)
+            else None
+        )
+        coords_local, warp_vjp = jax.vjp(lambda wp: _warp_cols(d["grid_b"], wp), params["warp"])
+
+        # ---- kernel A on the local shard (unnormalized cotangent)
+        rgb_local, m_local, sq_local, dcoords_u, msum_l, loss_l, dmlp_u = (
+            fused_implicit_train_kernel(
+                params["neural_image"], stacks_local, coords_local, d["mask_X"], cw,
+                d["rgb_cf"], 2.0 * C_r, cfg.arch, n_heads_local,
+            )
+        )
+        # global sums over ICI -> identical normalization everywhere
+        msum = jax.lax.psum(msum_l, DATA_AXIS)
+        inv_sum3 = 1.0 / (msum * 3.0)
+        rgb_loss = jax.lax.psum(loss_l, DATA_AXIS) * inv_sum3
+        dmlp = jax.tree.map(lambda g: g * inv_sum3, jax.lax.psum(dmlp_u, DATA_AXIS))
+        dwarp = jax.tree.map(
+            lambda g: g * inv_sum3, jax.lax.psum(warp_vjp(dcoords_u)[0], DATA_AXIS)
+        )
+
+        # ---- edge term: conv replicated on the gathered rgb (gradient-
+        # blocked, reference inputs.py:50-69), channels-first layout
+        # (engine/step.py:350-359)
+        if cfg.use_edges:
+            rgb_full = jax.lax.all_gather(rgb_local, DATA_AXIS, axis=1, tiled=True)  # [3, N]
+            edge_pred_cf = compute_edges(rgb_full.reshape(3, B, h, w), differentiable=False)
+            edges_cf = d["edges"].transpose(1, 0, 2, 3)
+            esq_full = jnp.sum((edge_pred_cf - edges_cf) ** 2, axis=0).reshape(1, N)
+            esq_local = jax.lax.dynamic_slice_in_dim(esq_full, didx * Nl, Nl, axis=1)
+            edge_loss = (
+                jax.lax.psum(jnp.sum(m_local * m_local * esq_local), DATA_AXIS) * inv_sum3
+            )
+        else:
+            esq_local = None
+            edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        mask_loss = jax.lax.psum(jnp.sum((1.0 - m_local) ** 2), DATA_AXIS) / N
+        loss = {
+            "render": render_loss(rgb_loss, edge_loss, mask_loss, alpha),
+            "rgb": rgb_loss,
+            "mask": mask_loss,
+            "edge": edge_loss,
+        }
+        total = summarize_loss(loss, cfg.loss_weight)
+
+        # ---- kernel B: in-kernel cotangent from global scalars
+        # (dL/dm derivation in engine/step.py:378-384)
+        a_s = 2.0 * C_r * inv_sum3
+        b_s = 2.0 * C_e * inv_sum3 if cfg.use_edges else jnp.asarray(0.0, jnp.float32)
+        c_s = jnp.asarray(2.0 * C_m / N, jnp.float32)
+        k_s = -3.0 * inv_sum3 * (C_r * rgb_loss + C_e * edge_loss) - 2.0 * C_m / N
+        gscalars = jnp.stack([
+            jnp.asarray(a_s, jnp.float32),
+            jnp.asarray(b_s, jnp.float32),
+            c_s,
+            jnp.asarray(k_s, jnp.float32),
+        ])
+        dstacks_local = fused_mask_backward_g(
+            stacks_local, d["mask_X"], sq_local, esq_local, gscalars, cdtype, n_heads_local
+        )
+        if single:
+            # whole heads per device: scatter local head grads into the full
+            # [B, ...] stack and psum (every other device contributes zeros)
+            dstacks = [
+                jax.tree.map(
+                    lambda a: jax.lax.psum(
+                        jax.lax.dynamic_update_slice_in_dim(
+                            jnp.zeros((B,) + a.shape[1:], a.dtype), a, didx * Bl, axis=0
+                        ),
+                        DATA_AXIS,
+                    ),
+                    layer,
+                )
+                for layer in dstacks_local
+            ]
+            dmask = jax.vmap(lambda dl: unfactor_mask_grads(dl, d["mask_table"]))(dstacks)
+        else:
+            dstacks = jax.lax.psum(dstacks_local, DATA_AXIS)
+            dmask = unfactor_mask_grads(
+                [jax.tree.map(lambda a: a[0], layer) for layer in dstacks], d["mask_table"]
+            )
+        grads = {
+            "neural_image": dmlp,
+            "warp": dwarp,
+            "implicit_mask": dmask,
+            "view_embedding": jnp.zeros_like(params["view_embedding"]),
+        }
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        metrics = {f"loss_{k}": v for k, v in loss.items()}
+        metrics["all"] = total
+        metrics["PSNR"] = psnr_from_rgb_loss(loss["rgb"])
+        metrics["finite"] = check_finite(loss)
+        if use_homographies and d.get("gt_hom") is not None:
+            metrics["Homography_Error"] = homography_error(sl3_to_SL3(new_params["warp"]), d["gt_hom"])
+        if compute_mask_error:
+            metrics["Mask_Error"] = (
+                jax.lax.psum(jnp.sum((m_local - d["masks_cf"]) ** 2), DATA_AXIS) / N
+            )
+        if cfg.fix_first:
+            new_params = dict(new_params, warp=new_params["warp"].at[0].set(0.0))
+        return TrainState(step=step + 1, params=new_params, opt_state=opt_state), metrics
+
+    def chunk_local(state: TrainState, d: dict):
+        def body(carry, _):
+            return step_local(carry, d)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    sharded_chunk = shard_map(
+        chunk_local,
+        mesh=mesh,
+        in_specs=(P(), data_specs),
+        out_specs=(P(), P()),
+        # same rationale as make_fused_sharded_chunk: pallas_call out_shape
+        # structs carry no vma metadata, so the checker rejects any kernel-
+        # bearing body; equality vs single-chip is test-covered instead
+        check_vma=False,
+    )
+    return jax.jit(sharded_chunk, donate_argnums=(0,) if donate else ())
+
+
 def make_fused_sharded_setup(
     cfg: PlanarConfig,
     tx: optax.GradientTransformation,
@@ -229,7 +487,7 @@ def make_fused_sharded_setup(
     donate: bool = True,
 ):
     """Convenience: (replicated fresh state, sharded flat data, jitted chunk)."""
-    sharded = shard_flat_data(flatten_planar_data(data, cfg), mesh)
+    sharded = shard_flat_data(flatten_planar_data(data, cfg, params), mesh)
     state = init_train_state(jax.device_put(params, replicate(mesh)), tx)
     chunk = make_fused_sharded_chunk(
         cfg, tx, mesh, tuple(sharded.keys()), n_steps, use_homographies, donate

@@ -18,9 +18,10 @@ from marf_tpu.ops.grid import normalized_pixel_grid
 from marf_tpu.ops.pallas.fused_mask import (
     build_mask_x,
     factor_mask_inputs,
-    fused_mask_backward,
-    fused_mask_forward,
+    fused_implicit_train_kernel,
+    fused_mask_backward_g,
     mask_w_stack,
+    mask_w_stack_batched,
     unfactor_mask_grads,
 )
 from tests.test_models import fake_data
@@ -96,8 +97,9 @@ def test_factoring_matches_dense(rng, single):
         np.testing.assert_allclose(np.asarray(m_eff), np.asarray(m_dense), rtol=1e-5, atol=1e-6)
 
 
-def test_kernel_backward_matches_autodiff_vjp(rng):
-    """The bwd kernel's dW/db equal autodiff through the effective stack."""
+def test_mask_backward_g_kernel_matches_autodiff(rng):
+    """Kernel B (in-kernel cotangent g = (a*sq + b*esq + c)*m + k) equals
+    autodiff of sum(g_explicit * m) through the effective stack."""
     cfg, _ = cfg_pair()
     data = implicit_data(cfg, rng)
     params = init_graph_params(jax.random.PRNGKey(2), cfg)
@@ -105,17 +107,22 @@ def test_kernel_backward_matches_autodiff_vjp(rng):
     uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
     X = build_mask_x(uv, onehot, single=False)
     stack = mask_w_stack(params["implicit_mask"], table)
-    g = jnp.asarray(rng.randn(1, X.shape[1]).astype(np.float32))
+    N = X.shape[1]
+    sq = jnp.asarray(np.abs(rng.randn(1, N)).astype(np.float32))
+    esq = jnp.asarray(np.abs(rng.randn(1, N)).astype(np.float32))
+    a, b, c, k = 0.7, 0.3, -0.2, 0.05
 
-    m_kernel = fused_mask_forward(stack, X)
-    dstack = fused_mask_backward(stack, X, g)
+    stacks = mask_w_stack_batched(params["implicit_mask"], table, 1)
+    dstacks = fused_mask_backward_g(stacks, X, sq, esq, jnp.asarray([a, b, c, k], jnp.float32))
+    dstack = [jax.tree.map(lambda x: x[0], layer) for layer in dstacks]
 
     def f(layers):
-        return jnp.sum(apply_implicit_mask_cf({"mlp": layers}, X) * g)
+        m = apply_implicit_mask_cf({"mlp": layers}, X)
+        g = (a * sq + b * esq + c) * m + k
+        # the kernel treats g as a constant cotangent: detach its m
+        return jnp.sum(jax.lax.stop_gradient(g) * m)
 
-    m_ref = apply_implicit_mask_cf({"mlp": stack}, X)
     dref = jax.grad(f)(stack)
-    np.testing.assert_allclose(np.asarray(m_kernel), np.asarray(m_ref), rtol=1e-5, atol=1e-6)
     for li, (dk, dr) in enumerate(zip(dstack, dref)):
         np.testing.assert_allclose(
             np.asarray(dk["w"]), np.asarray(dr["w"]), rtol=1e-4, atol=1e-6, err_msg=f"layer {li} dW"
@@ -126,6 +133,65 @@ def test_kernel_backward_matches_autodiff_vjp(rng):
     # unfactored dW1 has the reference [426, 256] layout
     dparams = unfactor_mask_grads(dstack, table)
     assert dparams["mlp"][0]["w"].shape == params["implicit_mask"]["mlp"][0]["w"].shape
+
+
+def test_implicit_train_kernel_outputs(rng):
+    """Kernel A: m/rgb/sq/sums match a plain-JAX recompute; the unnormalized
+    dmlp/dcoords scale exactly by 1/(3*sum(m)) (dscale linearity)."""
+    cfg, _ = cfg_pair()
+    data = implicit_data(cfg, rng)
+    params = init_graph_params(jax.random.PRNGKey(3), cfg)
+    grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+    uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
+    X = build_mask_x(uv, onehot, single=False)
+    stacks = mask_w_stack_batched(params["implicit_mask"], table, 1)
+
+    from marf_tpu.models.neural_image import apply_neural_image_cf
+    from marf_tpu.ops.posenc import barf_c2f_weights
+    from marf_tpu.ops.warp import warp_grid_cf_flat
+
+    N = X.shape[1]
+    coords = warp_grid_cf_flat(grid, params["warp"])
+    progress = jnp.asarray(0.37, jnp.float32)
+    cw = barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), cfg.arch.posenc_L)
+    targets = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
+    g2C = 1.8
+
+    rgb, m, sq, dcoords_u, msum, loss_u, dmlp_u = fused_implicit_train_kernel(
+        params["neural_image"], stacks, coords, X, cw, targets, g2C, cfg.arch, 1
+    )
+
+    m_ref = apply_implicit_mask_cf({"mlp": mask_w_stack(params["implicit_mask"], table)}, X)
+    rgb_ref = apply_neural_image_cf(params["neural_image"], coords, cfg.arch, progress)
+    sq_ref = jnp.sum((rgb_ref - targets) ** 2, axis=0, keepdims=True)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(sq_ref), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(msum), float(jnp.sum(m_ref)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(loss_u), float(jnp.sum(m_ref**2 * sq_ref)), rtol=1e-4
+    )
+
+    # autodiff oracle for the normalized gradients
+    inv_sum3 = 1.0 / (float(msum) * 3.0)
+
+    def loss_fn(ni_params, warp):
+        c = warp_grid_cf_flat(grid, warp)
+        r = apply_neural_image_cf(ni_params, c, cfg.arch, progress)
+        mm = jax.lax.stop_gradient(m_ref)
+        return 0.5 * g2C * jnp.sum((mm * (r - targets)) ** 2) * inv_sum3
+
+    dref_mlp, dref_warp = jax.grad(loss_fn, argnums=(0, 1))(params["neural_image"], params["warp"])
+    scaled = jax.tree.map(lambda g: g * inv_sum3, dmlp_u)
+    for li in range(len(cfg.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(scaled["mlp"][li]["w"]),
+            np.asarray(dref_mlp["mlp"][li]["w"]),
+            rtol=1e-3, atol=1e-6, err_msg=f"dW layer {li}",
+        )
+    _, warp_vjp = jax.vjp(lambda wp: warp_grid_cf_flat(grid, wp), params["warp"])
+    dwarp = jax.tree.map(lambda g: g * inv_sum3, warp_vjp(dcoords_u)[0])
+    np.testing.assert_allclose(np.asarray(dwarp), np.asarray(dref_warp), rtol=1e-3, atol=1e-6)
 
 
 @pytest.mark.parametrize(
@@ -161,6 +227,68 @@ def test_fused_implicit_matches_autodiff(rng, single, use_edges):
             np.asarray(s_on.params["implicit_mask"]["mlp"][li]["w"]),
             np.asarray(s_off.params["implicit_mask"]["mlp"][li]["w"]),
             rtol=1e-3, atol=1e-6, err_msg=f"mask head layer {li}",
+        )
+
+
+@pytest.mark.parametrize("use_edges", [True, False])
+def test_fused_implicit_dedup_matches_autodiff(rng, use_edges):
+    """The slot0+extras dedup pipeline (mask kernels on unique (pixel,
+    combo) columns, dense scatter/segment-sum mapping) equals the autodiff
+    path exactly."""
+    from marf_tpu.ops.pallas.fused_mask import slot_dedup_inputs
+
+    off, on = cfg_pair(use_edges=use_edges, alpha_initial=0.3)
+    data = implicit_data(off, rng)
+    if not use_edges:
+        data = dict(data, edges=None)
+    params = init_graph_params(jax.random.PRNGKey(0), off)
+    grid = normalized_pixel_grid(off.grid_spec, crop=off.use_cropped_images)
+    uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
+    X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(
+        np.asarray(uv), np.asarray(onehot)
+    )
+    N = off.batch_size * grid.shape[0]
+    HW = grid.shape[0]
+    assert X_all.shape[1] == HW + ext_pix.shape[0] < N  # must actually dedup
+    assert ext_pix.shape[0] > 0  # the saturated mix must exercise extras
+    assert int(cnt_all.sum()) == N
+    ddata = dict(
+        data,
+        mask_table=jnp.asarray(table),
+        mask_Xall=jnp.asarray(X_all),
+        mask_slot0map=jnp.asarray(slot0map),
+        mask_ext_pix=jnp.asarray(ext_pix),
+        mask_extmap=jnp.asarray(extmap),
+        mask_cntall=jnp.asarray(cnt_all),
+    )
+    s_off, m_off = run_steps(off, data)
+    s_on, m_on = run_steps(on, ddata)
+    for key in ("all", "loss_rgb", "loss_mask", "loss_render", "PSNR"):
+        np.testing.assert_allclose(
+            np.asarray(m_on[key]), np.asarray(m_off[key]), rtol=1e-5, atol=1e-7, err_msg=key
+        )
+    if use_edges:
+        np.testing.assert_allclose(
+            np.asarray(m_on["loss_edge"]), np.asarray(m_off["loss_edge"]), rtol=1e-5, atol=1e-7
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_on.params["warp"]), np.asarray(s_off.params["warp"]), rtol=1e-3, atol=1e-6
+    )
+    for li in range(len(off.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s_on.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s_off.params["neural_image"]["mlp"][li]["w"]),
+            rtol=1e-3, atol=1e-6, err_msg=f"neural_image layer {li}",
+        )
+    for li in range(5):
+        # atol: the segment-sum groups additions differently from the
+        # per-position autodiff sum; the reordering noise (~1e-7 rel on
+        # grads) is amplified by Adam's g/sqrt(v) normalization on
+        # near-zero entries over the 3 steps
+        np.testing.assert_allclose(
+            np.asarray(s_on.params["implicit_mask"]["mlp"][li]["w"]),
+            np.asarray(s_off.params["implicit_mask"]["mlp"][li]["w"]),
+            rtol=1e-3, atol=5e-4, err_msg=f"mask head layer {li}",
         )
 
 

@@ -116,6 +116,76 @@ def test_fused_shardmap_matches_single_device_fused(rng):
         )
 
 
+@pytest.mark.parametrize(
+    "single,use_edges,batch_size",
+    [(False, True, 3), (False, False, 3), (True, True, 8)],
+)
+def test_fused_implicit_shardmap_matches_single_device(rng, single, use_edges, batch_size):
+    """The implicit-mask two-kernel pipeline under shard_map (round 3): per-
+    shard kernels + ICI psums must equal the single-device fused implicit
+    step — shared head (columns split mid-image) and per-image heads (whole
+    heads per device)."""
+    from marf_tpu.parallel.shard_fused import fused_shardable, make_fused_sharded_setup
+
+    cfg = mesh_cfg(
+        batch_size=batch_size,
+        use_implicit_mask=True,
+        use_masks=True,
+        use_edges=use_edges,
+        alpha_initial=0.3,
+        N_vocab=16,
+        build_single_masks=single,
+        fused_step="on",
+        arch=NeuralImageConfig(layers=(None, 32, 32, 3), posenc_L=4, barf_c2f=(0, 0.4)),
+    )
+    assert fused_shardable(cfg, 8)
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    raw = fake_data(cfg, rng)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+
+    state1 = init_train_state(params, tx)
+    chunk1 = make_train_chunk(make_train_step(cfg, tx), 2, donate=False)
+    s1, m1 = chunk1(state1, raw)
+
+    mesh = make_mesh(8)
+    state8, data8, chunk8 = make_fused_sharded_setup(
+        cfg, tx, mesh, raw, params, n_steps=2, donate=False
+    )
+    assert not data8["mask_X"].sharding.is_fully_replicated
+    s8, m8 = chunk8(state8, data8)
+
+    keys = ["all", "loss_rgb", "loss_mask", "PSNR", "Homography_Error", "Mask_Error"]
+    if use_edges:
+        keys.append("loss_edge")
+    for key in keys:
+        np.testing.assert_allclose(
+            np.asarray(m8[key]), np.asarray(m1[key]), rtol=2e-5, atol=1e-7, err_msg=key
+        )
+    np.testing.assert_allclose(
+        np.asarray(s8.params["warp"]), np.asarray(s1.params["warp"]), rtol=2e-4, atol=2e-6
+    )
+    for li in range(len(cfg.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s8.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s1.params["neural_image"]["mlp"][li]["w"]),
+            rtol=2e-4, atol=2e-6, err_msg=f"neural_image layer {li}",
+        )
+    for li in range(5):
+        # the cotangent scalars cross an ICI psum whose summation order
+        # differs from the single-device kernel accumulation; on elements
+        # whose true gradient is ~0, Adam's first-step normalization
+        # (m_hat/sqrt(v_hat) -> sign(g)) amplifies that reorder noise to
+        # full +/-lr steps. Allow isolated lr-scale flips, nothing more.
+        w8 = np.asarray(s8.params["implicit_mask"]["mlp"][li]["w"])
+        w1 = np.asarray(s1.params["implicit_mask"]["mlp"][li]["w"])
+        # measured: <=0.18% isolated flips, p99.9 ~ 1e-5, max ~ 1.4*lr; a
+        # real head-indexing bug would mismatch a whole head block (12.5%)
+        # at weight scale (~1e-1), far outside both bounds
+        bad = np.abs(w8 - w1) > (2e-4 * np.abs(w1) + 2e-6)
+        assert bad.mean() < 5e-3, f"mask head layer {li}: {bad.sum()}/{bad.size} mismatches"
+        assert np.abs(w8 - w1).max() < 3e-3, f"mask head layer {li}: max {np.abs(w8 - w1).max()}"
+
+
 def test_sharded_width_axis(rng):
     """h not divisible by 8 -> width sharding path."""
     cfg = mesh_cfg(H=60, W=64, patch_H=30, patch_W=32)
