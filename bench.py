@@ -26,6 +26,9 @@ Env knobs (defaults = the faithful canonical config):
     MARF_BENCH_FUSED_STEP  auto | on | off (tpu.fused_step)
     MARF_BENCH_FUSED_WARP  auto | on | off (tpu.fused_warp, v5 in-kernel warp)
     MARF_BENCH_PRECISION   '' | highest (jax_default_matmul_precision)
+    MARF_BENCH_CHECK       1 (default) = assert final PSNR against
+                           tools/bench_goldens.json when a golden exists
+                           (exit 1 outside the band); 0 = report only
 """
 
 import json
@@ -145,6 +148,36 @@ def main():
     }
     if "Mask_Error" in final:
         extra["final_mask_error"] = round(final["Mask_Error"], 5)
+
+    # convergence guardrail: fused-kernel numerics regressions fail loudly.
+    # tools/bench_goldens.json records the measured PSNR@iters per case
+    # (default f32 numerics); a run outside the band exits non-zero. Bands
+    # are sized from the measured same-framework variant cluster (XLA vs
+    # fused vs dedup all within ~0.05 dB @600, PERF.md) vs the >1 dB
+    # excursions that real cotangent/schedule bugs produce.
+    golden_key = f"{CASE}@{MAX_ITER}/seed{SEED}"
+    golden_ok = None
+    if (
+        DTYPE == "float32"
+        and not PRECISION
+        and os.environ.get("MARF_BENCH_CHECK", "1") != "0"
+    ):
+        gpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_goldens.json")
+        try:
+            with open(gpath) as f:
+                goldens = json.load(f)
+        except FileNotFoundError:
+            goldens = {}
+        g = goldens.get(golden_key)
+        if g is not None:
+            delta = abs(final.get("PSNR", float("nan")) - g["psnr"])
+            golden_ok = bool(delta <= g["band"]) and np.isfinite(final.get("PSNR", float("nan")))
+            extra["golden"] = {"key": golden_key, "psnr": g["psnr"], "band": g["band"],
+                               "delta": round(delta, 4), "ok": golden_ok}
+            if not golden_ok:
+                log(f"GOLDEN CHECK FAILED: {golden_key} PSNR {final.get('PSNR'):.3f} "
+                    f"vs golden {g['psnr']} +- {g['band']}")
+
     result = {
         "metric": "steps_per_sec",
         "value": round(steps_per_sec, 2),
@@ -153,6 +186,8 @@ def main():
         "extra": extra,
     }
     print(json.dumps(result))
+    if golden_ok is False:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
