@@ -53,6 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 # tiling). The canonical 216,000-point workload pads to 217,088 columns, but
 # only on the tiny [2/3/1, N] streams. Env-overridable for sweeps.
 SUB = int(os.environ.get("MARF_FUSED_SUB", 2048))
+# Independent column streams per grid step: each stream is a full SUB-lane
+# dependent matmul chain with no data flow to the others, so Mosaic can fill
+# one stream's VPU phases (posenc, relu, sigmoid, cotangent) with another's
+# MXU work. SUB=4096 single-stream measured flat (PERF.md) — the bound is
+# chain serialization, not matmul width, which is what this attacks.
+NSTREAMS = int(os.environ.get("MARF_FUSED_STREAMS", 1))
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -143,8 +149,9 @@ def _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype):
     return None
 
 
-def _kernel(n_layers, L, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_ref, *refs):
-    """One grid step: posenc -> MLP fwd -> loss partials -> full bwd, cf.
+def _kernel(n_layers, L, n_streams, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_ref, *refs):
+    """One grid step: posenc -> MLP fwd -> loss partials -> full bwd, cf,
+    over `n_streams` independent SUB-lane column streams (see NSTREAMS).
 
     scalars_ref (SMEM [2]): [0] = d_total/d_rgb scale (2 * C / (sum(m)*3)),
     [1] = loss-partial scale (1 / (sum(m)*3)).
@@ -174,24 +181,27 @@ def _kernel(n_layers, L, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_r
     dscale = scalars_ref[0]
     lscale = scalars_ref[1]
 
-    x = coords_ref[0:1, :]  # [1, SUB]
-    y = coords_ref[1:2, :]
-    enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
+    W = coords_ref.shape[-1] // n_streams
+    for s in range(n_streams):
+        sl = slice(s * W, (s + 1) * W)
+        x = coords_ref[0:1, sl]  # [1, SUB]
+        y = coords_ref[1:2, sl]
+        enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
 
-    acts = _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype)
+        acts = _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype)
 
-    # ---- loss partials + output cotangent
-    rgb = acts[n_layers]
-    rgb_ref[:] = rgb
-    msk = msk_ref[:]
-    diff_m = (rgb - tgt_ref[:]) * msk
-    loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
-    d_out = dscale * diff_m * msk
-    d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)  # chain through sigmoid
+        # ---- loss partials + output cotangent
+        rgb = acts[n_layers]
+        rgb_ref[:, sl] = rgb
+        msk = msk_ref[:, sl]
+        diff_m = (rgb - tgt_ref[:, sl]) * msk
+        loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
+        d_out = dscale * diff_m * msk
+        d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)  # chain through sigmoid
 
-    denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
-    dx, dy = _posenc_vjp(denc, L, pe_state)
-    dcoords_ref[:] = jnp.concatenate([dx, dy], axis=0)
+        denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
+        dx, dy = _posenc_vjp(denc, L, pe_state)
+        dcoords_ref[:, sl] = jnp.concatenate([dx, dy], axis=0)
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _writeout():
@@ -201,7 +211,7 @@ def _kernel(n_layers, L, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_r
         loss_ref[:] = jnp.full((1, 1), loss_acc[0], dtype=jnp.float32)
 
 
-def _kernel_warp(n_layers, L, cdtype, scalars_ref, grid_ref, hrows_ref, cw_ref, tgt_ref, msk_ref, *refs):
+def _kernel_warp(n_layers, L, n_streams, cdtype, scalars_ref, grid_ref, hrows_ref, cw_ref, tgt_ref, msk_ref, *refs):
     """v5 grid step: in-kernel homography warp + posenc + MLP fwd + loss +
     full bwd INCLUDING the warp VJP (dH accumulated per image).
 
@@ -238,48 +248,51 @@ def _kernel_warp(n_layers, L, cdtype, scalars_ref, grid_ref, hrows_ref, cw_ref, 
     dscale = scalars_ref[0]
     lscale = scalars_ref[1]
 
-    # ---- in-kernel warp: one-hot the image index, gather H columns, apply
-    u = grid_ref[0:1, :]  # [1, SUB]
-    v = grid_ref[1:2, :]
-    bidx = grid_ref[2:3, :]
-    PB = acc_dh.shape[1]
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (PB, 1), 0).astype(jnp.float32)
-    bo = (bidx == iota_b).astype(jnp.float32)  # [PB, SUB]
-    hc = jax.lax.dot_general(
-        hrows_ref[:], bo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [16, SUB]; rows 0-8 = per-column H entries
-    rden = 1.0 / (hc[8:9, :] * 1.0 + hc[6:7, :] * u + hc[7:8, :] * v + np.float32(1e-8))
-    x = (hc[0:1, :] * u + hc[1:2, :] * v + hc[2:3, :]) * rden
-    y = (hc[3:4, :] * u + hc[4:5, :] * v + hc[5:6, :]) * rden
+    W = grid_ref.shape[-1] // n_streams
+    for s in range(n_streams):
+        sl = slice(s * W, (s + 1) * W)
+        # ---- in-kernel warp: one-hot the image index, gather H columns, apply
+        u = grid_ref[0:1, sl]  # [1, SUB]
+        v = grid_ref[1:2, sl]
+        bidx = grid_ref[2:3, sl]
+        PB = acc_dh.shape[1]
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (PB, 1), 0).astype(jnp.float32)
+        bo = (bidx == iota_b).astype(jnp.float32)  # [PB, SUB]
+        hc = jax.lax.dot_general(
+            hrows_ref[:], bo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [16, SUB]; rows 0-8 = per-column H entries
+        rden = 1.0 / (hc[8:9, :] * 1.0 + hc[6:7, :] * u + hc[7:8, :] * v + np.float32(1e-8))
+        x = (hc[0:1, :] * u + hc[1:2, :] * v + hc[2:3, :]) * rden
+        y = (hc[3:4, :] * u + hc[4:5, :] * v + hc[5:6, :]) * rden
 
-    enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
-    acts = _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype)
+        enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
+        acts = _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype)
 
-    rgb = acts[n_layers]
-    rgb_ref[:] = rgb
-    msk = msk_ref[:]
-    diff_m = (rgb - tgt_ref[:]) * msk
-    loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
-    d_out = dscale * diff_m * msk
-    d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)
+        rgb = acts[n_layers]
+        rgb_ref[:, sl] = rgb
+        msk = msk_ref[:, sl]
+        diff_m = (rgb - tgt_ref[:, sl]) * msk
+        loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
+        d_out = dscale * diff_m * msk
+        d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)
 
-    denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
-    dx, dy = _posenc_vjp(denc, L, pe_state)
+        denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
+        dx, dy = _posenc_vjp(denc, L, pe_state)
 
-    # ---- warp VJP: x = xh * rden, y = yh * rden, rden = 1/(wden + eps)
-    # => dxh = dx*rden, dwden = -(dx*x + dy*y)*rden; dH rows via segment-sum
-    # over the one-hot (a [16, SUB] x [SUB, PB] MXU contraction per tile)
-    dxh = dx * rden
-    dyh = dy * rden
-    dwden = -(dx * x + dy * y) * rden
-    zeros7 = jnp.zeros((7, u.shape[-1]), dtype=jnp.float32)
-    drows = jnp.concatenate(
-        [dxh * u, dxh * v, dxh, dyh * u, dyh * v, dyh, dwden * u, dwden * v, dwden, zeros7],
-        axis=0,
-    )  # [16, SUB]
-    acc_dh[:] += jax.lax.dot_general(
-        drows, bo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [16, PB]
+        # ---- warp VJP: x = xh * rden, y = yh * rden, rden = 1/(wden + eps)
+        # => dxh = dx*rden, dwden = -(dx*x + dy*y)*rden; dH rows via segment-
+        # sum over the one-hot (a [16, SUB] x [SUB, PB] MXU contraction)
+        dxh = dx * rden
+        dyh = dy * rden
+        dwden = -(dx * x + dy * y) * rden
+        zeros7 = jnp.zeros((7, u.shape[-1]), dtype=jnp.float32)
+        drows = jnp.concatenate(
+            [dxh * u, dxh * v, dxh, dyh * u, dyh * v, dyh, dwden * u, dwden * v, dwden, zeros7],
+            axis=0,
+        )  # [16, SUB]
+        acc_dh[:] += jax.lax.dot_general(
+            drows, bo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [16, PB]
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _writeout():
@@ -325,8 +338,9 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
     L = int(arch_cfg.posenc_L or 0)
     cdtype = jnp.dtype(arch_cfg.compute_dtype)
     N = coords_cf.shape[1]
-    n_padded = -(-max(N, SUB) // SUB) * SUB
-    grid = n_padded // SUB
+    subt = SUB * NSTREAMS  # columns per grid step (NSTREAMS independent chains)
+    n_padded = -(-max(N, subt) // subt) * subt
+    grid = n_padded // subt
     out_dim = dims[-1][1]
 
     def pad_cols(a):
@@ -351,7 +365,7 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
         else jnp.ones((max(L, 1), 1), dtype=jnp.float32)
     )
 
-    kernel = functools.partial(_kernel, n_layers, L, cdtype)
+    kernel = functools.partial(_kernel, n_layers, L, NSTREAMS, cdtype)
     out_shapes = (
         [
             jax.ShapeDtypeStruct((out_dim, n_padded), jnp.float32),  # rgb
@@ -363,8 +377,8 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
     )
     out_specs = (
         [
-            pl.BlockSpec((out_dim, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_dim, subt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, subt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for wt in wts]
@@ -375,10 +389,10 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [2]
-            pl.BlockSpec((2, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # coords
+            pl.BlockSpec((2, subt), lambda i: (0, i), memory_space=pltpu.VMEM),  # coords
             pl.BlockSpec((max(L, 1), 1), lambda i: (0, 0), memory_space=pltpu.VMEM),  # c2f w
-            pl.BlockSpec((out_dim, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # targets
-            pl.BlockSpec((1, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # masks
+            pl.BlockSpec((out_dim, subt), lambda i: (0, i), memory_space=pltpu.VMEM),  # targets
+            pl.BlockSpec((1, subt), lambda i: (0, i), memory_space=pltpu.VMEM),  # masks
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3 * n_layers)],
         ],
         out_specs=out_specs,
@@ -432,8 +446,9 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
     B = H.shape[0]
     assert B <= PB, f"v5 kernel supports at most {PB} images (got {B})"
     N = grid_b_cf.shape[1]
-    n_padded = -(-max(N, SUB) // SUB) * SUB
-    grid = n_padded // SUB
+    subt = SUB * NSTREAMS  # columns per grid step (NSTREAMS independent chains)
+    n_padded = -(-max(N, subt) // subt) * subt
+    grid = n_padded // subt
     out_dim = dims[-1][1]
 
     def pad_cols(a, value=0.0):
@@ -464,7 +479,7 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
         else jnp.ones((max(L, 1), 1), dtype=jnp.float32)
     )
 
-    kernel = functools.partial(_kernel_warp, n_layers, L, cdtype)
+    kernel = functools.partial(_kernel_warp, n_layers, L, NSTREAMS, cdtype)
     out_shapes = (
         [
             jax.ShapeDtypeStruct((out_dim, n_padded), jnp.float32),  # rgb
@@ -476,7 +491,7 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
     )
     out_specs = (
         [
-            pl.BlockSpec((out_dim, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_dim, subt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, PB), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
@@ -488,11 +503,11 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [2]
-            pl.BlockSpec((3, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # (u, v, b)
+            pl.BlockSpec((3, subt), lambda i: (0, i), memory_space=pltpu.VMEM),  # (u, v, b)
             pl.BlockSpec((16, PB), lambda i: (0, 0), memory_space=pltpu.VMEM),  # H rows
             pl.BlockSpec((max(L, 1), 1), lambda i: (0, 0), memory_space=pltpu.VMEM),  # c2f w
-            pl.BlockSpec((out_dim, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # targets
-            pl.BlockSpec((1, SUB), lambda i: (0, i), memory_space=pltpu.VMEM),  # masks
+            pl.BlockSpec((out_dim, subt), lambda i: (0, i), memory_space=pltpu.VMEM),  # targets
+            pl.BlockSpec((1, subt), lambda i: (0, i), memory_space=pltpu.VMEM),  # masks
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3 * n_layers)],
         ],
         out_specs=out_specs,

@@ -111,3 +111,27 @@ def test_fused_step_psnr_metric(rng):
     np.testing.assert_allclose(
         np.asarray(m_on["Homography_Error"]), np.asarray(m_off["Homography_Error"]), rtol=1e-3, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("fused_warp", ["off", "on"])
+def test_fused_step_multi_stream(rng, monkeypatch, fused_warp):
+    """NSTREAMS=2 (independent per-grid-step column chains, MARF_FUSED_STREAMS)
+    equals the autodiff path — the streams only regroup the tile iteration."""
+    from marf_tpu.ops.pallas import fused_step as fs
+
+    monkeypatch.setattr(fs, "NSTREAMS", 2)
+    monkeypatch.setattr(fs, "SUB", 256)  # 2 streams x 256 lanes over 512-col tiles
+    off, on = cfg_pair(fused_warp=fused_warp)
+    data = fake_data(off, rng)
+    s_off, m_off = run_steps(off, data)
+    s_on, m_on = run_steps(on, data)
+    np.testing.assert_allclose(np.asarray(m_on["all"]), np.asarray(m_off["all"]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s_on.params["warp"]), np.asarray(s_off.params["warp"]), rtol=1e-3, atol=1e-6
+    )
+    for li in range(len(off.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s_on.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s_off.params["neural_image"]["mlp"][li]["w"]),
+            rtol=1e-3, atol=1e-6, err_msg=f"layer {li} weights",
+        )
