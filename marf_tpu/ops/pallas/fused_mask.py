@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from marf_tpu.ops.pallas.fused_step import (
+    NSTREAMS,
     SUB,
     _VMEM_LIMIT,
     _enc_rows,
@@ -326,10 +327,12 @@ def _pad_head_rows(a3: jax.Array, rp: int) -> jax.Array:
     return jnp.pad(a3, ((0, 0), (0, rp - a3.shape[1]), (0, 0)))
 
 
-def _implicit_kernel(n_mask, n_rgb, L, T, cdtype, scalars_ref, coords_ref, x_ref, cw_ref, tgt_ref, valid_ref, *refs):
+def _implicit_kernel(n_mask, n_rgb, L, T, n_streams, cdtype, scalars_ref, coords_ref, x_ref, cw_ref, tgt_ref, valid_ref, *refs):
     """Kernel A grid step: mask fwd + posenc + rgb fwd + loss partials + full
     rgb bwd, channels-first, with the UNNORMALIZED cotangent (dscale
-    linearity; see module note). scalars_ref (SMEM [1]): [0] = 2*C_rgb."""
+    linearity; see module note), over `n_streams` independent SUB-lane
+    column streams (fused_step.NSTREAMS). scalars_ref (SMEM [1]):
+    [0] = 2*C_rgb."""
     mwt = refs[:n_mask]  # [1, out, in] per head block
     mb = refs[n_mask : 2 * n_mask]  # [1, out, 1]
     o = 2 * n_mask
@@ -362,30 +365,34 @@ def _implicit_kernel(n_mask, n_rgb, L, T, cdtype, scalars_ref, coords_ref, x_ref
 
     g2c = scalars_ref[0]
 
-    # mask-head forward (independent chain — interleaves with the rgb MXU work)
-    m, _ = _mask_fwd_tile(x_ref[:], mwt, mb, n_mask, cdtype)
+    W = coords_ref.shape[-1] // n_streams
+    for s in range(n_streams):
+        sl = slice(s * W, (s + 1) * W)
+        # mask-head forward (independent chain — interleaves with the rgb
+        # MXU work)
+        m, _ = _mask_fwd_tile(x_ref[:, sl], mwt, mb, n_mask, cdtype)
 
-    x = coords_ref[0:1, :]
-    y = coords_ref[1:2, :]
-    enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
-    acts = _stack_fwd(enc, wt_refs, b_refs, n_rgb, cdtype)
+        x = coords_ref[0:1, sl]
+        y = coords_ref[1:2, sl]
+        enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
+        acts = _stack_fwd(enc, wt_refs, b_refs, n_rgb, cdtype)
 
-    rgb = acts[n_rgb]
-    rgb_ref[:] = rgb
-    m_ref[:] = m
-    valid = valid_ref[:]
-    mv = m * valid  # valid in {0,1}: (m*valid)^2 == m^2*valid
-    diff = rgb - tgt_ref[:]
-    sq = jnp.sum(diff * diff, axis=0, keepdims=True)
-    sq_ref[:] = sq
-    acc_sums[0] += jnp.sum(mv)
-    acc_sums[1] += jnp.sum(mv * mv * sq)
-    d_out = g2c * diff * (mv * mv)
-    d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)
+        rgb = acts[n_rgb]
+        rgb_ref[:, sl] = rgb
+        m_ref[:, sl] = m
+        valid = valid_ref[:, sl]
+        mv = m * valid  # valid in {0,1}: (m*valid)^2 == m^2*valid
+        diff = rgb - tgt_ref[:, sl]
+        sq = jnp.sum(diff * diff, axis=0, keepdims=True)
+        sq_ref[:, sl] = sq
+        acc_sums[0] += jnp.sum(mv)
+        acc_sums[1] += jnp.sum(mv * mv * sq)
+        d_out = g2c * diff * (mv * mv)
+        d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)
 
-    denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_rgb, cdtype)
-    dx, dy = _posenc_vjp(denc, L, pe_state)
-    dcoords_ref[:] = jnp.concatenate([dx, dy], axis=0)
+        denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_rgb, cdtype)
+        dx, dy = _posenc_vjp(denc, L, pe_state)
+        dcoords_ref[:, sl] = jnp.concatenate([dx, dy], axis=0)
 
     @pl.when(g == pl.num_programs(0) - 1)
     def _writeout():
@@ -396,7 +403,7 @@ def _implicit_kernel(n_mask, n_rgb, L, T, cdtype, scalars_ref, coords_ref, x_ref
         lsum_ref[:] = jnp.full((1, 1), acc_sums[1], dtype=jnp.float32)
 
 
-def _mask_bwd_g_kernel(n_mask, T, rp_last, cdtype, scalars_ref, x_ref, sq_ref, esq_ref, cnt_ref, *refs):
+def _mask_bwd_g_kernel(n_mask, T, rp_last, n_streams, cdtype, scalars_ref, x_ref, sq_ref, esq_ref, cnt_ref, *refs):
     """Kernel B grid step: recompute the mask fwd tile-locally, form the
     cotangent g = (a*sq + b*esq + c*cnt)*m + k*cnt in-kernel, chain through
     the sigmoid, accumulate per-head dW/db. scalars_ref (SMEM [4]):
@@ -421,32 +428,36 @@ def _mask_bwd_g_kernel(n_mask, T, rp_last, cdtype, scalars_ref, x_ref, sq_ref, e
             acc_dw[li][:] = jnp.zeros_like(acc_dw[li])
             acc_db[li][:] = jnp.zeros_like(acc_db[li])
 
-    m, acts = _mask_fwd_tile(x_ref[:], mwt, mb, n_mask, cdtype, keep_acts=True)
-
     a_s = scalars_ref[0]
     b_s = scalars_ref[1]
     c_s = scalars_ref[2]
     k_s = scalars_ref[3]
-    cnt = cnt_ref[:]
-    gcot = (a_s * sq_ref[:] + b_s * esq_ref[:] + c_s * cnt) * m + k_s * cnt
-    d = (gcot * m * (1.0 - m)).astype(cdtype)
-    if rp_last > 1:
-        # the final layer's head-blocked grads are row-padded to the 8-row
-        # tile (_head_rp) — extend the [1, SUB] cotangent with zero rows so
-        # the generic dW/db/dh chain below runs on the padded shapes
-        d = jnp.concatenate([d, jnp.zeros((rp_last - 1, d.shape[1]), d.dtype)], axis=0)
 
-    for li in range(n_mask - 1, -1, -1):
-        a = acts[li]
-        acc_dw[li][:] += jax.lax.dot_general(
-            d, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
-        if li > 0:
-            da = jax.lax.dot_general(
-                mw[li][:], d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    W = x_ref.shape[-1] // n_streams
+    for s in range(n_streams):
+        sl = slice(s * W, (s + 1) * W)
+        m, acts = _mask_fwd_tile(x_ref[:, sl], mwt, mb, n_mask, cdtype, keep_acts=True)
+        cnt = cnt_ref[:, sl]
+        gcot = (a_s * sq_ref[:, sl] + b_s * esq_ref[:, sl] + c_s * cnt) * m + k_s * cnt
+        d = (gcot * m * (1.0 - m)).astype(cdtype)
+        if rp_last > 1:
+            # the final layer's head-blocked grads are row-padded to the
+            # 8-row tile (_head_rp) — extend the [1, SUB] cotangent with
+            # zero rows so the generic dW/db/dh chain below runs on the
+            # padded shapes
+            d = jnp.concatenate([d, jnp.zeros((rp_last - 1, d.shape[1]), d.dtype)], axis=0)
+
+        for li in range(n_mask - 1, -1, -1):
+            a = acts[li]
+            acc_dw[li][:] += jax.lax.dot_general(
+                d, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
+            acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
+            if li > 0:
+                da = jax.lax.dot_general(
+                    mw[li][:], d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
 
     @pl.when(i == T - 1)
     def _writeout():
@@ -484,8 +495,9 @@ def fused_implicit_train_kernel(rgb_params, mask_stacks, coords_cf, x_cf, cw, ta
     cdtype = jnp.dtype(arch_cfg.compute_dtype)
     N = coords_cf.shape[1]
     HW = N // n_heads
-    hw_padded = -(-max(HW, SUB) // SUB) * SUB
-    T = hw_padded // SUB
+    subt = SUB * NSTREAMS  # columns per grid step (NSTREAMS independent chains)
+    hw_padded = -(-max(HW, subt) // subt) * subt
+    T = hw_padded // subt
     grid = n_heads * T
     out_dim = dims[-1][1]
 
@@ -522,13 +534,13 @@ def fused_implicit_train_kernel(rgb_params, mask_stacks, coords_cf, x_cf, cw, ta
         else jnp.ones((max(L, 1), 1), dtype=jnp.float32)
     )
 
-    col = lambda c: pl.BlockSpec((c, SUB), lambda g: (0, g), memory_space=pltpu.VMEM)
+    col = lambda c: pl.BlockSpec((c, subt), lambda g: (0, g), memory_space=pltpu.VMEM)
     headblk = lambda shp: pl.BlockSpec(
         (shp[0] // n_heads, shp[1]), lambda g: (g // T, 0), memory_space=pltpu.VMEM
     )
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_implicit_kernel, n_mask, n_rgb, L, T, cdtype)
+    kernel = functools.partial(_implicit_kernel, n_mask, n_rgb, L, T, NSTREAMS, cdtype)
     n_padded = n_heads * hw_padded
     out_shapes = (
         [
@@ -619,8 +631,9 @@ def fused_mask_backward_g(
     cdtype = jnp.dtype(compute_dtype)
     N = x_cf.shape[1]
     HW = N // n_heads
-    hw_padded = -(-max(HW, SUB) // SUB) * SUB
-    T = hw_padded // SUB
+    subt = SUB * NSTREAMS  # columns per grid step (NSTREAMS independent chains)
+    hw_padded = -(-max(HW, subt) // subt) * subt
+    T = hw_padded // subt
     grid = n_heads * T
 
     x_p = _head_pad(x_cf, n_heads, hw_padded)
@@ -653,12 +666,12 @@ def fused_mask_backward_g(
         for l, rp in zip(mask_stacks, rps)
     ]  # [H*rp, 1]
 
-    col = lambda c: pl.BlockSpec((c, SUB), lambda g: (0, g), memory_space=pltpu.VMEM)
+    col = lambda c: pl.BlockSpec((c, subt), lambda g: (0, g), memory_space=pltpu.VMEM)
     headblk = lambda shp: pl.BlockSpec(
         (shp[0] // n_heads, shp[1]), lambda g: (g // T, 0), memory_space=pltpu.VMEM
     )
 
-    kernel = functools.partial(_mask_bwd_g_kernel, n_mask, T, rps[-1], cdtype)
+    kernel = functools.partial(_mask_bwd_g_kernel, n_mask, T, rps[-1], NSTREAMS, cdtype)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -319,3 +319,29 @@ def test_fused_implicit_precomputed_X(rng):
         np.asarray(s_inline.params["implicit_mask"]["mlp"][0]["w"]),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_fused_implicit_multi_stream(rng, monkeypatch):
+    """NSTREAMS=2 in the implicit kernel A/B pair equals the autodiff path
+    (streams only regroup the tile iteration; fused_step.NSTREAMS knob)."""
+    from marf_tpu.ops.pallas import fused_mask as fm
+    from marf_tpu.ops.pallas import fused_step as fs
+
+    monkeypatch.setattr(fs, "NSTREAMS", 2)
+    monkeypatch.setattr(fm, "NSTREAMS", 2)
+    monkeypatch.setattr(fs, "SUB", 256)
+    monkeypatch.setattr(fm, "SUB", 256)
+    off, on = cfg_pair(use_edges=True, alpha_initial=0.3, build_single_masks=True)
+    data = implicit_data(off, rng)
+    s_off, m_off = run_steps(off, data)
+    s_on, m_on = run_steps(on, data)
+    for key in ("all", "loss_rgb", "loss_mask", "loss_render", "PSNR"):
+        np.testing.assert_allclose(
+            np.asarray(m_on[key]), np.asarray(m_off[key]), rtol=1e-5, atol=1e-7, err_msg=key
+        )
+    for li in range(5):
+        np.testing.assert_allclose(
+            np.asarray(s_on.params["implicit_mask"]["mlp"][li]["w"]),
+            np.asarray(s_off.params["implicit_mask"]["mlp"][li]["w"]),
+            rtol=1e-3, atol=5e-4, err_msg=f"mask head layer {li}",
+        )
