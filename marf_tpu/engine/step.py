@@ -131,6 +131,76 @@ def make_optimizer(optim_opt: dict, max_iter: int) -> optax.GradientTransformati
     return optax.multi_transform(transforms, _label_params)
 
 
+def make_flat_optimizer(optim_opt: dict, max_iter: int, params: dict):
+    """Flat-space Adam, exactly equal to `make_optimizer` for algo=Adam.
+
+    `optax.multi_transform` keeps per-leaf m/v states and lowers to ~10
+    small per-leaf fusions per step (~0.28 ms of the measured TPU step,
+    PERF.md); since the groups differ ONLY in learning rate, the whole
+    update collapses to ONE fused pass over a single [P] vector with a
+    per-element lr built from 4 scalars: update = -lr_vec(count) *
+    m_hat / (sqrt(v_hat) + eps). Count semantics copied from optax:
+    bias correction uses count+1 (scale_by_adam), the lr schedule is
+    evaluated at the PRE-increment count (scale_by_schedule). The frozen
+    view-embedding group gets lr 0 (its grads are already exactly zero,
+    so m=v=0 and the update is 0 — same as optax.set_to_zero).
+
+    Returns None when the config is out of scope (algo != Adam) — caller
+    falls back to `make_optimizer`. Equality is regression-tested
+    (tests/test_step.py::test_flat_optimizer_matches_multi_transform).
+    """
+    if optim_opt.get("algo", "Adam") != "Adam":
+        return None
+    import jax.flatten_util
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    train_view = bool(optim_opt.get("train_view_embedding", False))
+    flat0, unravel = jax.flatten_util.ravel_pytree(params)
+    labels = _label_params(params)
+    group_ids = {"mlp": 0, "warp": 1, "mask": 2, "frozen": 3}
+    gid = jax.flatten_util.ravel_pytree(
+        jax.tree.map(
+            lambda p, lbl: jnp.full(jnp.shape(p), group_ids[lbl], dtype=jnp.float32),
+            params, labels,
+        )
+    )[0]
+    lrs = [
+        _lr_schedule(float(optim_opt["lr"]), optim_opt, max_iter),
+        _lr_schedule(float(optim_opt.get("lr_warp", optim_opt["lr"])), optim_opt, max_iter),
+        _lr_schedule(float(optim_opt.get("lr_mask", optim_opt["lr"])), optim_opt, max_iter),
+        (float(optim_opt.get("lr_mask", optim_opt["lr"])) if train_view else 0.0),
+    ]
+
+    def lr_vec(count):
+        vals = [lr(count) if callable(lr) else lr for lr in lrs]
+        out = jnp.full_like(gid, vals[0])
+        for i in range(1, 4):
+            out = jnp.where(gid == float(i), vals[i], out)
+        return out
+
+    def init_fn(p):
+        # two distinct buffers — a shared zeros array would alias mu and nu
+        # and break donation ("attempt to donate the same buffer twice")
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jnp.zeros_like(flat0),
+            nu=jnp.zeros_like(flat0),
+        )
+
+    def update_fn(updates, state, p=None):
+        g = jax.flatten_util.ravel_pytree(updates)[0]
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * (g * g)
+        count_inc = state.count + 1
+        c = count_inc.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1**c)
+        nu_hat = nu / (1.0 - b2**c)
+        upd = -lr_vec(state.count) * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        return unravel(upd), optax.ScaleByAdamState(count=count_inc, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
     return TrainState(step=jnp.zeros((), dtype=jnp.int32), params=params, opt_state=tx.init(params))
 

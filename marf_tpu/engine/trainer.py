@@ -174,7 +174,14 @@ class Model:
         """Phase 3: per-group optimizer + state (reference model/planar.py:86-104),
         honoring load/resume checkpoints (capability the reference stubs)."""
         log.info("setting up optimizers...")
-        self.tx = make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
+        from marf_tpu.engine.step import make_flat_optimizer
+
+        # flat-space Adam (one fused [P] update pass, exact-equal to the
+        # per-group multi_transform — step.py make_flat_optimizer); falls
+        # back for non-Adam algos
+        self.tx = make_flat_optimizer(dict(self.opt.optim), self.cfg.max_iter, self.params)
+        if self.tx is None:
+            self.tx = make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
         self.state = init_train_state(self.params, self.tx)
         restore = ckpt_lib.resolve_restore_path(
             self.opt.output_path, self.opt.get("load"), self.opt.get("resume")
