@@ -285,7 +285,7 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
                 axis=0,
             )  # [3, N] constant — folded by XLA
             H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
-            rgb_cf, rgb_loss, dmlp, dH = fused_train_kernel_warp(
+            rgb_cf, rgb_loss, dmlp, dH, _sq = fused_train_kernel_warp(
                 params["neural_image"], grid_b, H, cw, targets_cf, masks_cf,
                 g_loss_scale, inv_sum3, cfg.arch,
             )
@@ -298,7 +298,7 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             coords_cf, warp_vjp = jax.vjp(
                 lambda wp: warp_grid_cf_flat(grid, wp), params["warp"]
             )  # [2, N]
-            rgb_cf, rgb_loss, dmlp, dcoords_cf = fused_train_kernel(
+            rgb_cf, rgb_loss, dmlp, dcoords_cf, _sq = fused_train_kernel(
                 params["neural_image"], coords_cf, cw, targets_cf, masks_cf,
                 g_loss_scale, inv_sum3, cfg.arch,
             )
@@ -568,7 +568,7 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
                 axis=0,
             )  # [3, N] constant
             H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
-            rgb_cf, rgb_loss, dmlp, dH = fused_train_kernel_warp(
+            rgb_cf, rgb_loss, dmlp, dH, sq = fused_train_kernel_warp(
                 params["neural_image"], grid_b, H, cw, targets_cf, m_flat,
                 C_r, inv_sum3, cfg.arch,
             )
@@ -577,7 +577,7 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             coords_cf, warp_vjp = jax.vjp(
                 lambda wp: warp_grid_cf_flat(grid, wp), params["warp"]
             )
-            rgb_cf, rgb_loss, dmlp, dcoords_cf = fused_train_kernel(
+            rgb_cf, rgb_loss, dmlp, dcoords_cf, sq = fused_train_kernel(
                 params["neural_image"], coords_cf, cw, targets_cf, m_flat,
                 C_r, inv_sum3, cfg.arch,
             )
@@ -591,10 +591,9 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             "mask_prediction_map": m_flat.reshape(1, B, h, w).transpose(1, 0, 2, 3),
         }
 
-        # ---- remaining loss terms (edge conv channels-first: no transpose
-        # copy, and dodges the XLA slice+transpose miscompile — see
-        # _fused_implicit_grads)
-        sq = jnp.sum((rgb_cf - targets_cf) ** 2, axis=0, keepdims=True)  # [1, N]
+        # ---- remaining loss terms (sq comes straight from the rgb kernel;
+        # edge conv channels-first: no transpose copy, and dodges the XLA
+        # slice+transpose miscompile — see _fused_implicit_grads)
         if cfg.use_edges:
             edge_pred_cf = compute_edges(rgb_cf.reshape(3, B, h, w), differentiable=False)
             outputs["edge_prediction"] = edge_pred_cf.transpose(1, 0, 2, 3)

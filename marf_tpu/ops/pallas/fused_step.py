@@ -162,12 +162,13 @@ def _kernel(n_layers, L, n_streams, cdtype, scalars_ref, coords_ref, cw_ref, tgt
     b_refs = refs[2 * n_layers : 3 * n_layers]  # [out, 1]
     rgb_ref = refs[3 * n_layers]  # [3, SUB]
     dcoords_ref = refs[3 * n_layers + 1]  # [2, SUB]
-    loss_ref = refs[3 * n_layers + 2]  # [1, 1]
-    out_dw = refs[3 * n_layers + 3 : 4 * n_layers + 3]  # [out, in]
-    out_db = refs[4 * n_layers + 3 : 5 * n_layers + 3]  # [out, 1]
-    acc_dw = refs[5 * n_layers + 3 : 6 * n_layers + 3]
-    acc_db = refs[6 * n_layers + 3 : 7 * n_layers + 3]
-    loss_acc = refs[7 * n_layers + 3]  # SMEM [1]
+    sq_ref = refs[3 * n_layers + 2]  # [1, SUB] raw per-point sq error
+    loss_ref = refs[3 * n_layers + 3]  # [1, 1]
+    out_dw = refs[3 * n_layers + 4 : 4 * n_layers + 4]  # [out, in]
+    out_db = refs[4 * n_layers + 4 : 5 * n_layers + 4]  # [out, 1]
+    acc_dw = refs[5 * n_layers + 4 : 6 * n_layers + 4]
+    acc_db = refs[6 * n_layers + 4 : 7 * n_layers + 4]
+    loss_acc = refs[7 * n_layers + 4]  # SMEM [1]
 
     step = pl.program_id(0)
 
@@ -194,7 +195,9 @@ def _kernel(n_layers, L, n_streams, cdtype, scalars_ref, coords_ref, cw_ref, tgt
         rgb = acts[n_layers]
         rgb_ref[:, sl] = rgb
         msk = msk_ref[:, sl]
-        diff_m = (rgb - tgt_ref[:, sl]) * msk
+        diff = rgb - tgt_ref[:, sl]
+        sq_ref[:, sl] = jnp.sum(diff * diff, axis=0, keepdims=True)
+        diff_m = diff * msk
         loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
         d_out = dscale * diff_m * msk
         d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)  # chain through sigmoid
@@ -227,13 +230,14 @@ def _kernel_warp(n_layers, L, n_streams, cdtype, scalars_ref, grid_ref, hrows_re
     b_refs = refs[2 * n_layers : 3 * n_layers]
     rgb_ref = refs[3 * n_layers]  # [3, SUB]
     dh_ref = refs[3 * n_layers + 1]  # [16, PB]
-    loss_ref = refs[3 * n_layers + 2]  # [1, 1]
-    out_dw = refs[3 * n_layers + 3 : 4 * n_layers + 3]
-    out_db = refs[4 * n_layers + 3 : 5 * n_layers + 3]
-    acc_dw = refs[5 * n_layers + 3 : 6 * n_layers + 3]
-    acc_db = refs[6 * n_layers + 3 : 7 * n_layers + 3]
-    acc_dh = refs[7 * n_layers + 3]  # VMEM [16, PB]
-    loss_acc = refs[7 * n_layers + 4]  # SMEM [1]
+    sq_ref = refs[3 * n_layers + 2]  # [1, SUB] raw per-point sq error
+    loss_ref = refs[3 * n_layers + 3]  # [1, 1]
+    out_dw = refs[3 * n_layers + 4 : 4 * n_layers + 4]
+    out_db = refs[4 * n_layers + 4 : 5 * n_layers + 4]
+    acc_dw = refs[5 * n_layers + 4 : 6 * n_layers + 4]
+    acc_db = refs[6 * n_layers + 4 : 7 * n_layers + 4]
+    acc_dh = refs[7 * n_layers + 4]  # VMEM [16, PB]
+    loss_acc = refs[7 * n_layers + 5]  # SMEM [1]
 
     step = pl.program_id(0)
 
@@ -271,7 +275,9 @@ def _kernel_warp(n_layers, L, n_streams, cdtype, scalars_ref, grid_ref, hrows_re
         rgb = acts[n_layers]
         rgb_ref[:, sl] = rgb
         msk = msk_ref[:, sl]
-        diff_m = (rgb - tgt_ref[:, sl]) * msk
+        diff = rgb - tgt_ref[:, sl]
+        sq_ref[:, sl] = jnp.sum(diff * diff, axis=0, keepdims=True)
+        diff_m = diff * msk
         loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
         d_out = dscale * diff_m * msk
         d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)
@@ -370,6 +376,7 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
         [
             jax.ShapeDtypeStruct((out_dim, n_padded), jnp.float32),  # rgb
             jax.ShapeDtypeStruct((2, n_padded), jnp.float32),  # dcoords
+            jax.ShapeDtypeStruct((1, n_padded), jnp.float32),  # sq
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # rgb_loss
         ]
         + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in wts]  # dW [out,in]
@@ -379,6 +386,7 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
         [
             pl.BlockSpec((out_dim, subt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, subt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, subt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for wt in wts]
@@ -408,9 +416,10 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
 
     rgb_cf = outs[0][:, :N]
     dcoords_cf = outs[1][:, :N]
-    rgb_loss = outs[2][0, 0]
-    dws = outs[3 : 3 + n_layers]
-    dbs = [b.reshape(-1) for b in outs[3 + n_layers :]]
+    sq_cf = outs[2][:, :N]
+    rgb_loss = outs[3][0, 0]
+    dws = outs[4 : 4 + n_layers]
+    dbs = [b.reshape(-1) for b in outs[4 + n_layers :]]
     # kernel dW is [out, in] in the expanded-enc layout; back to params layout
     dw1 = dws[0].T  # [enc_rows, out]
     dw1 = jnp.concatenate([dw1[:2], dw1[8:]], axis=0) if L else dw1[: dims[0][0]]
@@ -418,7 +427,7 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
         "mlp": [{"w": dw1, "b": dbs[0]}]
         + [{"w": dws[i].T, "b": dbs[i]} for i in range(1, n_layers)]
     }
-    return rgb_cf, rgb_loss, dparams, dcoords_cf
+    return rgb_cf, rgb_loss, dparams, dcoords_cf, sq_cf
 
 
 PB = 8  # padded image-index axis of the v5 kernel (B <= 8 images)
@@ -484,6 +493,7 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
         [
             jax.ShapeDtypeStruct((out_dim, n_padded), jnp.float32),  # rgb
             jax.ShapeDtypeStruct((16, PB), jnp.float32),  # dH rows
+            jax.ShapeDtypeStruct((1, n_padded), jnp.float32),  # sq
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # rgb_loss
         ]
         + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in wts]
@@ -493,6 +503,7 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
         [
             pl.BlockSpec((out_dim, subt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, PB), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, subt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for wt in wts]
@@ -524,13 +535,14 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
 
     rgb_cf = outs[0][:, :N]
     dH = outs[1][:9, :B].T.reshape(B, 3, 3)
-    rgb_loss = outs[2][0, 0]
-    dws = outs[3 : 3 + n_layers]
-    dbs = [b.reshape(-1) for b in outs[3 + n_layers :]]
+    sq_cf = outs[2][:, :N]
+    rgb_loss = outs[3][0, 0]
+    dws = outs[4 : 4 + n_layers]
+    dbs = [b.reshape(-1) for b in outs[4 + n_layers :]]
     dw1 = dws[0].T
     dw1 = jnp.concatenate([dw1[:2], dw1[8:]], axis=0) if L else dw1[: dims[0][0]]
     dparams = {
         "mlp": [{"w": dw1, "b": dbs[0]}]
         + [{"w": dws[i].T, "b": dbs[i]} for i in range(1, n_layers)]
     }
-    return rgb_cf, rgb_loss, dparams, dH
+    return rgb_cf, rgb_loss, dparams, dH, sq_cf

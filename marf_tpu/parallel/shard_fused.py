@@ -205,7 +205,7 @@ def make_fused_sharded_chunk(
         inv_sum3 = 1.0 / (jax.lax.psum(jnp.sum(d["masks_cf"]), DATA_AXIS) * 3.0)
 
         H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
-        rgb_local, loss_local, dmlp, dH = fused_train_kernel_warp(
+        rgb_local, loss_local, dmlp, dH, _sq = fused_train_kernel_warp(
             params["neural_image"], d["grid_b"], H, cw, d["rgb_cf"], d["masks_cf"],
             g_loss_scale, inv_sum3, cfg.arch,
         )
