@@ -230,15 +230,21 @@ class Model:
             uv, onehot, table = jax.jit(factor_mask_inputs)(
                 self.state.params["view_embedding"], self.data["rgb"], grid
             )
-            self.data["mask_X"] = jax.device_put(
-                jax.jit(build_mask_x, static_argnames="single")(uv, onehot, single=cfg.build_single_masks)
-            )
             self.data["mask_table"] = jax.device_put(table)
-            if (
+            use_dedup = (
                 not cfg.build_single_masks
                 and self.mesh is None
                 and cfg.fused_dedup != "off"
-            ):
+            )
+            if not use_dedup:
+                # the dedup path never reads the dense [X_ROWS, N] input —
+                # skip its ~48 MB HBM residency when dedup is active
+                self.data["mask_X"] = jax.device_put(
+                    jax.jit(build_mask_x, static_argnames="single")(
+                        uv, onehot, single=cfg.build_single_masks
+                    )
+                )
+            if use_dedup:
                 # shared head, single chip: dedup the constant input columns
                 # once (host numpy) — the mask kernels then run on the
                 # HW+E slot0+extras columns only (fused_mask.py
