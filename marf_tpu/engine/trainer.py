@@ -188,7 +188,20 @@ class Model:
         )
         if restore:
             log.info(f"restoring checkpoint from {restore}")
-            self.state = ckpt_lib.restore_checkpoint(restore, self.state)
+            try:
+                self.state = ckpt_lib.restore_checkpoint(restore, self.state)
+            except Exception:
+                # checkpoints written before the flat-space Adam carry the
+                # optax.multi_transform state structure — self-heal by
+                # rebuilding that optimizer (trajectory-equal, see
+                # make_flat_optimizer) and restoring against it
+                log.warn(
+                    "checkpoint has the per-group optimizer state layout; "
+                    "falling back to optax.multi_transform for this run"
+                )
+                self.tx = make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
+                self.state = init_train_state(self.params, self.tx)
+                self.state = ckpt_lib.restore_checkpoint(restore, self.state)
             self.it = int(self.state.step)
         if self.mesh is not None:
             from marf_tpu.parallel.mesh import replicate

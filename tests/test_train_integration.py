@@ -5,6 +5,7 @@ SURVEY.md §4)."""
 import glob
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -145,6 +146,33 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     m2.setup_visualizer()
     m2.train()
     assert int(m2.state.step) == 60
+
+
+def test_legacy_group_optimizer_checkpoint_restores(tmp_path):
+    """A checkpoint written with the optax.multi_transform state (pre
+    flat-Adam layout) restores via the trainer's self-healing fallback."""
+    from marf_tpu.engine import checkpoint as ckpt_lib
+    from marf_tpu.engine.step import init_train_state, make_optimizer
+    from marf_tpu.engine.trainer import Model
+
+    opt = make_opt(tmp_path, max_iter=40)
+    m = Model(opt)
+    m.load_dataset()
+    m.build_networks()
+    # save a step-20 checkpoint in the legacy per-group state layout
+    tx_old = make_optimizer(dict(opt.optim), 40)
+    legacy = init_train_state(m.params, tx_old)
+    legacy = legacy.replace(step=jnp.asarray(20, jnp.int32))
+    ckpt_lib.save_checkpoint(opt.output_path, legacy)
+
+    opt2 = make_opt(tmp_path, max_iter=40)
+    opt2.resume = True
+    m2 = Model(opt2)
+    m2.load_dataset()
+    m2.build_networks()
+    m2.setup_optimizer()  # flat template fails -> falls back to multi_transform
+    assert m2.it == 20
+    assert isinstance(m2.state.opt_state, tuple) or hasattr(m2.state.opt_state, "inner_states")
 
 
 def test_implicit_mask_lifecycle(tmp_path):
