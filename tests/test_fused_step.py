@@ -113,14 +113,17 @@ def test_fused_step_psnr_metric(rng):
     )
 
 
-@pytest.mark.parametrize("fused_warp", ["off", "on"])
-def test_fused_step_multi_stream(rng, monkeypatch, fused_warp):
+@pytest.mark.parametrize(
+    "fused_warp,sub",
+    [("off", 256), ("on", 256), ("on", 320)],  # 320: N=1536 pads to 1920 — padding + streams
+)
+def test_fused_step_multi_stream(rng, monkeypatch, fused_warp, sub):
     """NSTREAMS=2 (independent per-grid-step column chains, MARF_FUSED_STREAMS)
     equals the autodiff path — the streams only regroup the tile iteration."""
     from marf_tpu.ops.pallas import fused_step as fs
 
     monkeypatch.setattr(fs, "NSTREAMS", 2)
-    monkeypatch.setattr(fs, "SUB", 256)  # 2 streams x 256 lanes over 512-col tiles
+    monkeypatch.setattr(fs, "SUB", sub)
     off, on = cfg_pair(fused_warp=fused_warp)
     data = fake_data(off, rng)
     s_off, m_off = run_steps(off, data)
