@@ -205,6 +205,43 @@ def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainSta
     return TrainState(step=jnp.zeros((), dtype=jnp.int32), params=params, opt_state=tx.init(params))
 
 
+def implicit_loss_coeffs(cfg: PlanarConfig, alpha):
+    """Loss-term coefficients for the implicit-mask pipelines:
+    total = sum_k 10^w_k * loss_k with render = (1-alpha)*rgb + 0.5*mask +
+    alpha*edge (reference model/planar.py:371-374). Shared by the
+    single-chip fused/dedup paths and parallel/shard_fused.py — kernel B's
+    in-kernel cotangent depends on these staying in lockstep.
+    Returns (C_r, C_e, C_m)."""
+    w_render = 10.0 ** float(cfg.w_render)
+    C_r = w_render * (1.0 - alpha)
+    if cfg.w_rgb is not None:
+        C_r = C_r + 10.0 ** float(cfg.w_rgb)
+    C_e = w_render * alpha
+    if cfg.w_edge is not None:
+        C_e = C_e + 10.0 ** float(cfg.w_edge)
+    C_m = w_render * 0.5
+    if cfg.w_mask is not None:
+        C_m = C_m + 10.0 ** float(cfg.w_mask)
+    return C_r, C_e, C_m
+
+
+def mask_cot_scalars(C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, use_edges):
+    """The [4] gscalars of kernel B's in-kernel cotangent
+    dL/dm = (a*sq + b*esq + c*cnt)*m + k*cnt, from
+    dL/dm_i = C_r*(2 m_i sq_i - 3 rgb_l)/(3 sum m)
+            + C_e*(2 m_i esq_i - 3 edge_l)/(3 sum m) + C_m*2(m_i - 1)/N."""
+    a_s = 2.0 * C_r * inv_sum3
+    b_s = 2.0 * C_e * inv_sum3 if use_edges else jnp.asarray(0.0, jnp.float32)
+    c_s = jnp.asarray(2.0 * C_m / N, jnp.float32)
+    k_s = -3.0 * inv_sum3 * (C_r * rgb_loss + C_e * edge_loss) - 2.0 * C_m / N
+    return jnp.stack([
+        jnp.asarray(a_s, jnp.float32),
+        jnp.asarray(b_s, jnp.float32),
+        c_s,
+        jnp.asarray(k_s, jnp.float32),
+    ])
+
+
 def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_homographies: bool = True):
     """Build the pure (state, data) -> (state, metrics) step function.
 
@@ -381,18 +418,7 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             X_flat = X
         stacks = mask_w_stack_batched(params["implicit_mask"], table, n_heads)
 
-        # ---- loss-term coefficients: total = sum_k 10^w_k * loss_k with
-        # render = (1-alpha)*rgb + 0.5*mask + alpha*edge (model/planar.py:371-374)
-        w_render = 10.0 ** float(cfg.w_render)
-        C_r = w_render * (1.0 - alpha)
-        if cfg.w_rgb is not None:
-            C_r = C_r + 10.0 ** float(cfg.w_rgb)
-        C_e = w_render * alpha
-        if cfg.w_edge is not None:
-            C_e = C_e + 10.0 ** float(cfg.w_edge)
-        C_m = w_render * 0.5
-        if cfg.w_mask is not None:
-            C_m = C_m + 10.0 ** float(cfg.w_mask)
+        C_r, C_e, C_m = implicit_loss_coeffs(cfg, alpha)
 
         # ---- kernel A
         coords_cf, warp_vjp = jax.vjp(lambda wp: warp_grid_cf_flat(grid, wp), params["warp"])
@@ -450,16 +476,9 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         # ---- kernel B: dL/dm_i = C_r*(2 m_i sq_i - 3 rgb_l)/(3 sum m)
         #   + C_e*(2 m_i esq_i - 3 edge_l)/(3 sum m) + C_m*2(m_i - 1)/N
         # = (a*sq_i + b*esq_i + c)*m_i + k with the scalars below.
-        a_s = 2.0 * C_r * inv_sum3
-        b_s = 2.0 * C_e * inv_sum3 if esq is not None else jnp.asarray(0.0, jnp.float32)
-        c_s = jnp.asarray(2.0 * C_m / N, jnp.float32)
-        k_s = -3.0 * inv_sum3 * (C_r * rgb_loss + C_e * edge_loss) - 2.0 * C_m / N
-        gscalars = jnp.stack([
-            jnp.asarray(a_s, jnp.float32),
-            jnp.asarray(b_s, jnp.float32),
-            c_s,
-            jnp.asarray(k_s, jnp.float32),
-        ])
+        gscalars = mask_cot_scalars(
+            C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, esq is not None
+        )
         dstacks = fused_mask_backward_g(stacks, X_flat, sq, esq, gscalars, cdtype, n_heads)
         if cfg.build_single_masks:
             dmask = jax.vmap(lambda dl: unfactor_mask_grads(dl, table))(dstacks)
@@ -523,16 +542,7 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         table = data["mask_table"]
         E = ext_pix.shape[0]
 
-        w_render = 10.0 ** float(cfg.w_render)
-        C_r = w_render * (1.0 - alpha)
-        if cfg.w_rgb is not None:
-            C_r = C_r + 10.0 ** float(cfg.w_rgb)
-        C_e = w_render * alpha
-        if cfg.w_edge is not None:
-            C_e = C_e + 10.0 ** float(cfg.w_edge)
-        C_m = w_render * 0.5
-        if cfg.w_mask is not None:
-            C_m = C_m + 10.0 ** float(cfg.w_mask)
+        C_r, C_e, C_m = implicit_loss_coeffs(cfg, alpha)
 
         # ---- mask forward on the deduplicated columns, dense expansion to
         # positions: each position (b, p) has exactly one active column, so
@@ -624,16 +634,9 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
 
         Ssq = seg_sum(sq)
         Sesq = seg_sum(esq) if esq is not None else None
-        a_s = 2.0 * C_r * inv_sum3
-        b_s = 2.0 * C_e * inv_sum3 if esq is not None else jnp.asarray(0.0, jnp.float32)
-        c_s = jnp.asarray(2.0 * C_m / N, jnp.float32)
-        k_s = -3.0 * inv_sum3 * (C_r * rgb_loss + C_e * edge_loss) - 2.0 * C_m / N
-        gscalars = jnp.stack([
-            jnp.asarray(a_s, jnp.float32),
-            jnp.asarray(b_s, jnp.float32),
-            c_s,
-            jnp.asarray(k_s, jnp.float32),
-        ])
+        gscalars = mask_cot_scalars(
+            C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, esq is not None
+        )
         stacks1 = mask_w_stack_batched(params["implicit_mask"], table, 1)
         dstacks = fused_mask_backward_g(
             stacks1, X_all, Ssq, Sesq, gscalars, cdtype, 1, cnt_cf=cnt_all

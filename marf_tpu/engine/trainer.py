@@ -190,18 +190,26 @@ class Model:
             log.info(f"restoring checkpoint from {restore}")
             try:
                 self.state = ckpt_lib.restore_checkpoint(restore, self.state)
-            except Exception:
+            except Exception as first_err:
                 # checkpoints written before the flat-space Adam carry the
                 # optax.multi_transform state structure — self-heal by
                 # rebuilding that optimizer (trajectory-equal, see
-                # make_flat_optimizer) and restoring against it
+                # make_flat_optimizer) and restoring against it. If that
+                # ALSO fails, the checkpoint is broken for some other
+                # reason: re-raise the ORIGINAL error so it isn't
+                # misattributed to the optimizer layout.
+                tx_flat = self.tx
+                try:
+                    self.tx = make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
+                    self.state = init_train_state(self.params, self.tx)
+                    self.state = ckpt_lib.restore_checkpoint(restore, self.state)
+                except Exception:
+                    self.tx = tx_flat
+                    raise first_err
                 log.warn(
-                    "checkpoint has the per-group optimizer state layout; "
-                    "falling back to optax.multi_transform for this run"
+                    "checkpoint has the pre-flat-Adam per-group optimizer "
+                    "state layout; using optax.multi_transform for this run"
                 )
-                self.tx = make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
-                self.state = init_train_state(self.params, self.tx)
-                self.state = ckpt_lib.restore_checkpoint(restore, self.state)
             self.it = int(self.state.step)
         if self.mesh is not None:
             from marf_tpu.parallel.mesh import replicate
@@ -249,6 +257,13 @@ class Model:
                 and self.mesh is None
                 and cfg.fused_dedup != "off"
             )
+            if cfg.fused_dedup == "on" and not use_dedup:
+                log.warn(
+                    "tpu.fused_dedup=on ignored: column dedup covers the "
+                    "shared-head single-chip pipeline only (per-image heads "
+                    "have no duplicate columns; the mesh path shards the "
+                    "non-dedup kernels)"
+                )
             if not use_dedup:
                 # the dedup path never reads the dense [X_ROWS, N] input —
                 # skip its ~48 MB HBM residency when dedup is active

@@ -50,7 +50,6 @@ from marf_tpu.ops.pallas.fused_step import (
     NSTREAMS,
     SUB,
     _VMEM_LIMIT,
-    _enc_rows,
     _expand_w1,
     _interpret,
     _posenc_fwd,
@@ -327,14 +326,14 @@ def _pad_head_rows(a3: jax.Array, rp: int) -> jax.Array:
     return jnp.pad(a3, ((0, 0), (0, rp - a3.shape[1]), (0, 0)))
 
 
-def _implicit_kernel(n_mask, n_rgb, L, T, n_streams, cdtype, scalars_ref, coords_ref, x_ref, cw_ref, tgt_ref, valid_ref, *refs):
+def _implicit_kernel(n_mask, n_rgb, L, n_streams, cdtype, scalars_ref, coords_ref, x_ref, cw_ref, tgt_ref, valid_ref, *refs):
     """Kernel A grid step: mask fwd + posenc + rgb fwd + loss partials + full
     rgb bwd, channels-first, with the UNNORMALIZED cotangent (dscale
     linearity; see module note), over `n_streams` independent SUB-lane
     column streams (fused_step.NSTREAMS). scalars_ref (SMEM [1]):
     [0] = 2*C_rgb."""
-    mwt = refs[:n_mask]  # [1, out, in] per head block
-    mb = refs[n_mask : 2 * n_mask]  # [1, out, 1]
+    mwt = refs[:n_mask]  # per-head [rp, in] blocks (2-D head-flattened)
+    mb = refs[n_mask : 2 * n_mask]  # [rp, 1]
     o = 2 * n_mask
     wt_refs = refs[o : o + n_rgb]  # rgb W^T [out, in]
     w_refs = refs[o + n_rgb : o + 2 * n_rgb]  # rgb W [in, out]
@@ -411,8 +410,8 @@ def _mask_bwd_g_kernel(n_mask, T, rp_last, n_streams, cdtype, scalars_ref, x_ref
     padded columns in the plain path (recovering g = (a*sq+b*esq+c)*m + k
     zeroed on padding), the segment counts on the dedup path, where sq/esq
     arrive segment-summed over each unique column's duplicates."""
-    mwt = refs[:n_mask]  # [1, out, in] (forward)
-    mw = refs[n_mask : 2 * n_mask]  # [1, in, out] (backward dh)
+    mwt = refs[:n_mask]  # per-head [rp, in] blocks (forward, 2-D head-flattened)
+    mw = refs[n_mask : 2 * n_mask]  # [in, rp] (backward dh)
     mb = refs[2 * n_mask : 3 * n_mask]
     out_dw = refs[3 * n_mask : 4 * n_mask]  # [1, out, in]
     out_db = refs[4 * n_mask : 5 * n_mask]  # [1, out, 1]
@@ -540,7 +539,7 @@ def fused_implicit_train_kernel(rgb_params, mask_stacks, coords_cf, x_cf, cw, ta
     )
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_implicit_kernel, n_mask, n_rgb, L, T, NSTREAMS, cdtype)
+    kernel = functools.partial(_implicit_kernel, n_mask, n_rgb, L, NSTREAMS, cdtype)
     n_padded = n_heads * hw_padded
     out_shapes = (
         [

@@ -337,7 +337,9 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
       arch_cfg: NeuralImageConfig (static).
 
     Returns:
-      (rgb_cf [3, N], rgb_loss scalar, dparams pytree, dcoords_cf [2, N]).
+      (rgb_cf [3, N], rgb_loss scalar, dparams pytree, dcoords_cf [2, N],
+       sq_cf [1, N] — raw per-point squared error, for the implicit dedup
+       path's segment sums).
     """
     dims = arch_cfg.layer_dims
     n_layers = len(dims)
@@ -446,7 +448,8 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
         `fused_train_kernel`.
 
     Returns:
-      (rgb_cf [3, N], rgb_loss scalar, dparams pytree, dH [B, 3, 3]).
+      (rgb_cf [3, N], rgb_loss scalar, dparams pytree, dH [B, 3, 3],
+       sq_cf [1, N] — raw per-point squared error).
     """
     dims = arch_cfg.layer_dims
     n_layers = len(dims)

@@ -33,7 +33,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import optax
 
-from marf_tpu.engine.step import TrainState, init_train_state
+from marf_tpu.engine.step import (
+    TrainState,
+    implicit_loss_coeffs,
+    init_train_state,
+    mask_cot_scalars,
+)
 from marf_tpu.models.planar import PlanarConfig
 from marf_tpu.ops.filters import compute_edges
 from marf_tpu.ops.grid import normalized_pixel_grid
@@ -329,17 +334,7 @@ def _make_implicit_sharded_chunk(
             if cfg.use_edges
             else jnp.asarray(0.0, dtype=jnp.float32)
         )
-        # loss-term coefficients (engine/step.py:312-323)
-        w_render = 10.0 ** float(cfg.w_render)
-        C_r = w_render * (1.0 - alpha)
-        if cfg.w_rgb is not None:
-            C_r = C_r + 10.0 ** float(cfg.w_rgb)
-        C_e = w_render * alpha
-        if cfg.w_edge is not None:
-            C_e = C_e + 10.0 ** float(cfg.w_edge)
-        C_m = w_render * 0.5
-        if cfg.w_mask is not None:
-            C_m = C_m + 10.0 ** float(cfg.w_mask)
+        C_r, C_e, C_m = implicit_loss_coeffs(cfg, alpha)
 
         stacks = mask_w_stack_batched(params["implicit_mask"], d["mask_table"], n_heads)
         if single:
@@ -399,16 +394,9 @@ def _make_implicit_sharded_chunk(
 
         # ---- kernel B: in-kernel cotangent from global scalars
         # (dL/dm derivation in engine/step.py:378-384)
-        a_s = 2.0 * C_r * inv_sum3
-        b_s = 2.0 * C_e * inv_sum3 if cfg.use_edges else jnp.asarray(0.0, jnp.float32)
-        c_s = jnp.asarray(2.0 * C_m / N, jnp.float32)
-        k_s = -3.0 * inv_sum3 * (C_r * rgb_loss + C_e * edge_loss) - 2.0 * C_m / N
-        gscalars = jnp.stack([
-            jnp.asarray(a_s, jnp.float32),
-            jnp.asarray(b_s, jnp.float32),
-            c_s,
-            jnp.asarray(k_s, jnp.float32),
-        ])
+        gscalars = mask_cot_scalars(
+            C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, cfg.use_edges
+        )
         dstacks_local = fused_mask_backward_g(
             stacks_local, d["mask_X"], sq_local, esq_local, gscalars, cdtype, n_heads_local
         )
