@@ -345,3 +345,45 @@ def test_fused_implicit_multi_stream(rng, monkeypatch):
             np.asarray(s_off.params["implicit_mask"]["mlp"][li]["w"]),
             rtol=1e-3, atol=5e-4, err_msg=f"mask head layer {li}",
         )
+
+
+def test_slot_dedup_builder_invariants(rng):
+    """slot_dedup_inputs: every position (b, p) is covered by exactly one
+    column (slot0 or one extra), counts are consistent, and each column's
+    X matches the dense build for its (pixel, combo)."""
+    from marf_tpu.ops.pallas.fused_mask import N_COMBOS, UV_DIM, slot_dedup_inputs
+
+    B, HW = 4, 64
+    uv = rng.randn(UV_DIM, HW).astype(np.float32)
+    combo = rng.randint(0, N_COMBOS, size=(B, HW))
+    onehot = np.eye(N_COMBOS, dtype=np.float32)[combo].transpose(0, 2, 1)  # [B, 8, HW]
+    X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(uv, onehot)
+    E = ext_pix.shape[0]
+    assert X_all.shape[1] == HW + E
+
+    # exactly-once coverage: slot0map[b,p] + sum_j extmap[b,j]*[ext_pix[j]==p] == 1
+    cover = slot0map.copy()
+    for j in range(E):
+        cover[:, ext_pix[j]] += extmap[:, j]
+    np.testing.assert_array_equal(cover, np.ones((B, HW), np.float32))
+    # counts consistent and positive for every kept column
+    np.testing.assert_array_equal(
+        cnt_all[0], np.concatenate([slot0map.sum(0), extmap.sum(0)])
+    )
+    assert (cnt_all[0, HW:] >= 1).all()  # extras only exist if some image uses them
+    assert cnt_all.sum() == B * HW
+
+    # column contents: slot0 column p is (uv[:,p], onehot of the majority
+    # combo); each extra j is (uv[:,ext_pix[j]], onehot of its combo)
+    counts = np.zeros((N_COMBOS, HW), np.int32)
+    np.add.at(counts, (combo, np.arange(HW)[None].repeat(B, 0)), 1)
+    slot0 = np.argmax(counts, axis=0)
+    np.testing.assert_allclose(X_all[:UV_DIM, :HW], uv)
+    np.testing.assert_array_equal(
+        np.argmax(X_all[UV_DIM : UV_DIM + N_COMBOS, :HW], axis=0), slot0
+    )
+    np.testing.assert_allclose(X_all[:UV_DIM, HW:], uv[:, ext_pix])
+    ext_combo = np.argmax(X_all[UV_DIM : UV_DIM + N_COMBOS, HW:], axis=0)
+    for j in range(E):
+        assert counts[ext_combo[j], ext_pix[j]] > 0
+        assert ext_combo[j] != slot0[ext_pix[j]]
