@@ -34,6 +34,7 @@ Env knobs (defaults = the faithful canonical config):
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -113,7 +114,47 @@ def build_model():
     return m, dataset
 
 
+def probe_backend():
+    """Bounded backend probe so an infra outage yields a parseable artifact.
+
+    A dead/hung TPU tunnel makes jax.devices() block indefinitely inside
+    Model.__init__, which previously left the driver with an unparseable
+    40-line traceback (BENCH_r03.json "parsed": null). Probe in a SUBPROCESS
+    under a timeout (a SIGTERM'd probe that never reached the chip cannot
+    wedge it) and, on failure, print one parseable JSON error line.
+    """
+    platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+    if "cpu" in platforms:
+        return  # no tunnel involved; don't pay a second jax import
+    timeout_s = float(os.environ.get("MARF_BENCH_PROBE_TIMEOUT", 90))
+    code = "import jax; print(jax.devices()[0])"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if r.returncode == 0:
+            return
+        detail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        reason = "backend_unavailable"
+    except subprocess.TimeoutExpired:
+        detail = [f"jax.devices() hung > {timeout_s:.0f}s"]
+        reason = "backend_unavailable"
+    print(json.dumps({
+        "metric": "steps_per_sec",
+        "value": None,
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "error": reason,
+        "extra": {"case": CASE, "platform": os.environ.get("JAX_PLATFORMS", ""),
+                  "detail": " ".join(detail)[-300:]},
+    }))
+    log(f"backend probe failed ({reason}): {' '.join(detail)[-300:]}")
+    sys.exit(2)
+
+
 def main():
+    probe_backend()
     if PRECISION:
         jax.config.update("jax_default_matmul_precision", PRECISION)
     m, dataset = build_model()
@@ -137,7 +178,8 @@ def main():
 
     final = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
     log(f"timed {n_timed} steps in {dt:.2f}s -> {steps_per_sec:.1f} steps/s")
-    log(f"final: PSNR={final.get('PSNR'):.3f} dB, loss={final.get('all'):.5f}, "
+    log(f"final: PSNR={final.get('PSNR', float('nan')):.3f} dB, "
+        f"loss={final.get('all', float('nan')):.5f}, "
         f"hom_err={final.get('Homography_Error', float('nan')):.4f}")
 
     extra = {
@@ -178,7 +220,8 @@ def main():
             extra["golden"] = {"key": golden_key, "psnr": g["psnr"], "band": g["band"],
                                "delta": round(delta, 4), "ok": golden_ok}
             if not golden_ok:
-                log(f"GOLDEN CHECK FAILED: {golden_key} PSNR {final.get('PSNR'):.3f} "
+                log(f"GOLDEN CHECK FAILED: {golden_key} "
+                    f"PSNR {final.get('PSNR', float('nan')):.3f} "
                     f"vs golden {g['psnr']} +- {g['band']}")
 
     result = {

@@ -15,6 +15,7 @@ program. Plus a real checkpoint/resume capability the reference only stubs.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import subprocess
@@ -40,6 +41,32 @@ from marf_tpu.models.planar import PlanarConfig, graph_forward, init_graph_param
 from marf_tpu.ops.grid import normalized_pixel_grid
 from marf_tpu.utils import vis as vis_lib
 from marf_tpu.utils.console import IterTimer, colorcode_to_number, log
+
+
+_HW_VALIDATION_FILE = os.path.join(os.path.dirname(__file__), "hw_validation.json")
+
+
+def _dedup_hw_validated() -> bool:
+    """Whether fused_dedup='auto' may enable the column dedup on this backend.
+
+    The slot0+extras dedup kernels are equality-tested against autodiff in CPU
+    interpret mode (tests/test_fused_mask.py), but this kernel family has twice
+    hit TPU-only Mosaic/XLA miscompiles that interpret mode cannot see
+    (engine/step.py channels-first edge-conv dodge). 'auto' therefore requires
+    a recorded real-TPU validation (golden PSNR held + throughput measured,
+    written to engine/hw_validation.json by the tools/tpu_sweep.sh harvest)
+    before the dedup path defaults on; `--tpu.fused_dedup=on` is the explicit
+    opt-in that bypasses the record. Off-TPU, interpret-mode equality is the
+    proof — no record needed.
+    """
+    if jax.default_backend() != "tpu":
+        return True
+    try:
+        with open(_HW_VALIDATION_FILE) as f:
+            rec = json.load(f)
+        return bool(rec.get("fused_dedup", {}).get("validated", False))
+    except (OSError, ValueError):
+        return False
 
 
 class Model:
@@ -256,6 +283,7 @@ class Model:
                 not cfg.build_single_masks
                 and self.mesh is None
                 and cfg.fused_dedup != "off"
+                and (cfg.fused_dedup == "on" or _dedup_hw_validated())
             )
             if cfg.fused_dedup == "on" and not use_dedup:
                 log.warn(

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-4 TPU measurement sweep (VERDICT r3 items 1/2/5): measures the
+# round-3 perf deliverables that the tunnel outage left unverified —
+# dedup on/off, flat Adam (now default everywhere), MARF_FUSED_STREAMS,
+# bf16 on the current v4/v5 kernel — across all five eval cases.
+# One JSON line per run in $MARF_SWEEP_OUT (default /tmp/tpu_sweep.jsonl).
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
+OUT="${MARF_SWEEP_OUT:-/tmp/tpu_sweep.jsonl}"
+LOG="${MARF_SWEEP_LOG:-/tmp/tpu_sweep.log}"
+: > "$OUT"
+
+run() {
+  local tag=$1; shift
+  echo "=== $tag $(date -u +%H:%M:%S) ===" >> "$LOG"
+  ( timeout 2400 env "$@" python bench.py 2>>"$LOG" \
+      | tail -1 | sed "s/^/{\"tag\": \"$tag\", \"r\": /; s/$/}/" >> "$OUT" ) \
+    || echo "{\"tag\": \"$tag\", \"error\": true}" >> "$OUT"
+}
+
+# 1. current defaults (flat adam + sq output); implicit600 forces dedup=on —
+#    its golden check on real TPU is the hardware validation the 'auto'
+#    default gate (trainer._dedup_hw_validated) is waiting for
+run canonical600      MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0
+run implicit600       MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_FUSED_DEDUP=on
+run implicit_s600     MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600
+run noposenc600       MARF_BENCH_CASE=noposenc MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0
+run edges600          MARF_BENCH_CASE=edges_only MARF_BENCH_ITERS=600
+# 2. streams sweep
+run canon_s2          MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=2
+run canon_s3          MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=3
+run implicit_s2       MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_FUSED_STREAMS=2
+run implicit_single_s2 MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=2
+# 3. bf16 re-measure on the shipping v4/v5 kernel (VERDICT r2 item 7)
+run canon_bf16        MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_DTYPE=bfloat16
+# 4. implicit dedup off (isolate the dedup win)
+run implicit_nodedup  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=off
+echo "SWEEP DONE $(date -u)" >> "$LOG"
