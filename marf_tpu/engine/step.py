@@ -454,7 +454,10 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         # slice+transpose copy of kernel A's rgb output produced NaN in a
         # layout-periodic column band (cols 109-239 of every row) whenever
         # kernel B consumed the conv-derived esq downstream — fully
-        # reproduced and bisected on v5e (round 3; /tmp/r3dbg repros).
+        # reproduced and bisected on v5e (round 3). Checked-in repro:
+        # tools/xla_miscompile_tripwire.py (run by tools/tpu_sweep.sh) —
+        # it fails loudly if a jax/XLA bump re-exposes the bug through
+        # this channels-first path.
         if cfg.use_edges:
             edge_pred_cf = compute_edges(rgb_cf.reshape(3, B, h, w), differentiable=False)
             outputs["edge_prediction"] = edge_pred_cf.transpose(1, 0, 2, 3)

@@ -36,4 +36,8 @@ run implicit_single_s2 MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600 MARF
 run canon_bf16        MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_DTYPE=bfloat16
 # 4. implicit dedup off (isolate the dedup win)
 run implicit_nodedup  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=off
+# 5. XLA miscompile tripwire (shipped edge-conv layout must stay NaN-free)
+( timeout 2400 python tools/xla_miscompile_tripwire.py >> "$LOG" 2>&1 \
+    && echo '{"tag": "miscompile_tripwire", "ok": true}' >> "$OUT" ) \
+  || echo '{"tag": "miscompile_tripwire", "ok": false}' >> "$OUT"
 echo "SWEEP DONE $(date -u)" >> "$LOG"
