@@ -43,32 +43,6 @@ from marf_tpu.utils import vis as vis_lib
 from marf_tpu.utils.console import IterTimer, colorcode_to_number, log
 
 
-_HW_VALIDATION_FILE = os.path.join(os.path.dirname(__file__), "hw_validation.json")
-
-
-def _dedup_hw_validated() -> bool:
-    """Whether fused_dedup='auto' may enable the column dedup on this backend.
-
-    The slot0+extras dedup kernels are equality-tested against autodiff in CPU
-    interpret mode (tests/test_fused_mask.py), but this kernel family has twice
-    hit TPU-only Mosaic/XLA miscompiles that interpret mode cannot see
-    (engine/step.py channels-first edge-conv dodge). 'auto' therefore requires
-    a recorded real-TPU validation (golden PSNR held + throughput measured,
-    written to engine/hw_validation.json by the tools/tpu_sweep.sh harvest)
-    before the dedup path defaults on; `--tpu.fused_dedup=on` is the explicit
-    opt-in that bypasses the record. Off-TPU, interpret-mode equality is the
-    proof — no record needed.
-    """
-    if jax.default_backend() != "tpu":
-        return True
-    try:
-        with open(_HW_VALIDATION_FILE) as f:
-            rec = json.load(f)
-        return bool(rec.get("fused_dedup", {}).get("validated", False))
-    except (OSError, ValueError):
-        return False
-
-
 class Model:
     """Planar bundle-adjustment trainer (drop-in lifecycle of the reference Model)."""
 
@@ -279,20 +253,24 @@ class Model:
                 self.state.params["view_embedding"], self.data["rgb"], grid
             )
             self.data["mask_table"] = jax.device_put(table)
-            use_dedup = (
-                not cfg.build_single_masks
-                and self.mesh is None
-                and cfg.fused_dedup != "off"
-                and (cfg.fused_dedup == "on" or _dedup_hw_validated())
-            )
-            if cfg.fused_dedup == "on" and not use_dedup:
+            from marf_tpu.models.planar import use_fused_dedup
+
+            dedup = use_fused_dedup(cfg)
+            use_dedup = dedup and self.mesh is None
+            mesh_dedup = dedup and self.mesh is not None and self.shard_fused
+            if cfg.fused_dedup == "on" and cfg.build_single_masks:
                 log.warn(
                     "tpu.fused_dedup=on ignored: column dedup covers the "
-                    "shared-head single-chip pipeline only (per-image heads "
-                    "have no duplicate columns; the mesh path shards the "
-                    "non-dedup kernels)"
+                    "shared-head pipeline only (per-image heads have no "
+                    "duplicate columns)"
                 )
-            if not use_dedup:
+            if mesh_dedup:
+                # the mesh path builds its own per-device dedup structures
+                # from the factored inputs (parallel/shard_fused.py
+                # flatten_planar_data) — stash them instead of the dense X
+                self.data["mask_uv"] = uv
+                self.data["mask_onehot"] = onehot
+            if not use_dedup and not mesh_dedup:
                 # the dedup path never reads the dense [X_ROWS, N] input —
                 # skip its ~48 MB HBM residency when dedup is active
                 self.data["mask_X"] = jax.device_put(
@@ -346,7 +324,10 @@ class Model:
         if self.shard_fused and self._train_data is None:
             from marf_tpu.parallel.shard_fused import flatten_planar_data, shard_flat_data
 
-            self._train_data = shard_flat_data(flatten_planar_data(self.data, cfg), self.mesh)
+            self._train_data = shard_flat_data(
+                flatten_planar_data(self.data, cfg, n_devices=self.mesh.devices.size),
+                self.mesh,
+            )
         self._step_fn = make_train_step(cfg, self.tx, use_homographies=self.use_homographies)
 
         def forward(params, data, progress):

@@ -14,6 +14,8 @@ engine jit-compiles them once into a scan-chunked train step.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +199,45 @@ def use_fused_implicit(cfg: PlanarConfig) -> bool:
     if cfg.fused_step == "on":
         return True
     return jax.default_backend() == "tpu"
+
+
+_HW_VALIDATION_FILE = os.path.join(os.path.dirname(__file__), "..", "hw_validation.json")
+
+
+def dedup_hw_validated() -> bool:
+    """Whether fused_dedup='auto' may enable the column dedup on this backend.
+
+    The slot0+extras dedup kernels are equality-tested against autodiff in CPU
+    interpret mode (tests/test_fused_mask.py), but this kernel family has twice
+    hit TPU-only Mosaic/XLA miscompiles that interpret mode cannot see
+    (engine/step.py channels-first edge-conv dodge). 'auto' therefore requires
+    a recorded real-TPU validation (golden PSNR held + throughput measured,
+    written to marf_tpu/hw_validation.json by the tools/tpu_sweep.sh harvest)
+    before the dedup path defaults on; `--tpu.fused_dedup=on` is the explicit
+    opt-in that bypasses the record. Off-TPU, interpret-mode equality is the
+    proof — no record needed.
+    """
+    if jax.default_backend() != "tpu":
+        return True
+    try:
+        with open(_HW_VALIDATION_FILE) as f:
+            rec = json.load(f)
+        return bool(rec.get("fused_dedup", {}).get("validated", False))
+    except (OSError, ValueError):
+        return False
+
+
+def use_fused_dedup(cfg: PlanarConfig) -> bool:
+    """Whether the shared-head implicit pipeline deduplicates the mask-head
+    input columns (slot0+extras, ops/pallas/fused_mask.py slot_dedup_inputs):
+    shared head only (per-image heads have no duplicate columns), and on TPU
+    gated on the recorded hardware validation unless forced 'on'. Covers both
+    the single-chip engine path and the shard_map mesh path."""
+    if cfg.build_single_masks or cfg.fused_dedup == "off":
+        return False
+    if not use_fused_implicit(cfg):
+        return False
+    return cfg.fused_dedup == "on" or dedup_hw_validated()
 
 
 def init_graph_params(key: jax.Array, cfg: PlanarConfig, dtype=jnp.float32) -> dict:

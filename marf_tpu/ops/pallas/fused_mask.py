@@ -165,6 +165,61 @@ def slot_dedup_inputs(uv: np.ndarray, onehot: np.ndarray):
     return X_all, slot0map, pix_e.astype(np.int32), extmap, cnt_all
 
 
+def slot_dedup_sharded_inputs(uv: np.ndarray, onehot: np.ndarray, n_devices: int):
+    """Per-device dedup structures for the shard_map mesh pipeline
+    (parallel/shard_fused.py `_make_implicit_dedup_sharded_chunk`).
+
+    The position axis N = B*HW is sharded contiguously (column order
+    b*HW + i, device d owns [d*Nl, (d+1)*Nl)); the dedup COLUMN axis
+    K = HW + E is padded to a device multiple and sharded independently.
+    The slot0 position<->column mapping stays dense on each device because
+    p = n mod HW is affine over a contiguous block (a tile + dynamic-slice
+    in the step, no gathers); only the extras (E ~1.5k columns) need indexed
+    ops, and their (position, column) pairs are grouped per OWNING device
+    here at setup so the step's gathers/scatters are Eloc-sized.
+
+    Args:
+      uv: [42, HW] uv positional embedding (factor_mask_inputs).
+      onehot: [B, 8, HW] combo one-hots (factor_mask_inputs).
+      n_devices: mesh size D (N % D == 0, checked by fused_shardable).
+
+    Returns:
+      (X_pad [X_ROWS, K_pad] — slot0 + extras + zero columns, K_pad = D*ceil(K/D),
+       slot0map_flat [1, N] f32 — slot0map reshaped to position order,
+       cnt_pad [1, K_pad] f32 — per-column position counts, 0 on padding,
+       ext_off [D, Eloc] i32 — extras position offsets local to each device,
+       ext_col [D, Eloc] i32 — the extras' global column index (>= HW),
+       ext_val [D, Eloc] f32 — 1 for real (position, column) pairs, 0 padding).
+    """
+    X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(uv, onehot)
+    B, HW = slot0map.shape
+    N = B * HW
+    D = int(n_devices)
+    assert N % D == 0, f"position axis {N} must divide the mesh ({D})"
+    Nl = N // D
+    K = X_all.shape[1]
+    K_pad = D * (-(-K // D))
+    X_pad = np.pad(X_all, ((0, 0), (0, K_pad - K))).astype(np.float32)
+    cnt_pad = np.pad(cnt_all, ((0, 0), (0, K_pad - K))).astype(np.float32)
+    slot0map_flat = slot0map.reshape(1, N).astype(np.float32)
+
+    # group the extras' (position, column) pairs by owning device
+    bb, jj = np.nonzero(extmap)  # each pair covers exactly one position
+    n_pos = bb * HW + ext_pix[jj]
+    dev = n_pos // Nl
+    per_dev = [np.flatnonzero(dev == d) for d in range(D)]
+    Eloc = max((len(s) for s in per_dev), default=0)
+    ext_off = np.zeros((D, Eloc), np.int32)
+    ext_col = np.zeros((D, Eloc), np.int32)
+    ext_val = np.zeros((D, Eloc), np.float32)
+    for d, sel in enumerate(per_dev):
+        k = len(sel)
+        ext_off[d, :k] = n_pos[sel] - d * Nl
+        ext_col[d, :k] = HW + jj[sel]
+        ext_val[d, :k] = 1.0
+    return X_pad, slot0map_flat, cnt_pad, ext_off, ext_col, ext_val
+
+
 def _mask_fwd_only_kernel(n_mask, cdtype, x_ref, *refs):
     """Forward-only grid step (dedup path): dense stack + sigmoid on one
     [X_ROWS, SUB] tile of unique columns."""

@@ -82,16 +82,20 @@ def fused_shardable(cfg: PlanarConfig, n_devices: int) -> bool:
     )
 
 
-def flatten_planar_data(data: dict, cfg: PlanarConfig, params: dict | None = None) -> dict:
+def flatten_planar_data(
+    data: dict, cfg: PlanarConfig, params: dict | None = None, n_devices: int | None = None
+) -> dict:
     """Build the flat channels-first streams the kernel consumes.
 
     Returns a dict of [C, N] arrays (rgb_cf/masks_cf/grid_b/mask_X, shardable
     on axis 1) plus the replicated full-map targets the edge term needs. For
     implicit-mask configs the factored head inputs come from data["mask_X"]
     (the engine precomputes them, trainer._build_compiled) or are built here
-    from `params["view_embedding"]`.
+    from `params["view_embedding"]`. Shared-head dedup configs (`n_devices`
+    given, models/planar.use_fused_dedup) instead get the per-device
+    slot0+extras structures (ops/pallas/fused_mask.slot_dedup_sharded_inputs).
     """
-    from marf_tpu.models.planar import use_fused_implicit
+    from marf_tpu.models.planar import use_fused_dedup, use_fused_implicit
 
     h, w = cfg.map_hw
     B = cfg.batch_size
@@ -108,7 +112,29 @@ def flatten_planar_data(data: dict, cfg: PlanarConfig, params: dict | None = Non
     else:
         masks_cf = jnp.ones((1, N), dtype=jnp.float32)
     out = {"rgb_cf": rgb_cf, "masks_cf": masks_cf, "grid_b": grid_b}
-    if use_fused_implicit(cfg):
+    dedup_ready = "mask_uv" in data or params is not None  # factors available
+    if use_fused_implicit(cfg) and use_fused_dedup(cfg) and n_devices and n_devices > 1 and dedup_ready:
+        import numpy as np
+
+        from marf_tpu.ops.pallas.fused_mask import factor_mask_inputs, slot_dedup_sharded_inputs
+
+        if "mask_uv" in data:
+            uv_emb, onehot, table = data["mask_uv"], data["mask_onehot"], data["mask_table"]
+        else:
+            uv_emb, onehot, table = factor_mask_inputs(
+                params["view_embedding"], jnp.asarray(data["rgb"], jnp.float32), grid
+            )
+        X_pad, slot0map_flat, cnt_pad, ext_off, ext_col, ext_val = slot_dedup_sharded_inputs(
+            np.asarray(uv_emb), np.asarray(onehot), n_devices
+        )
+        out["mask_Xall"] = jnp.asarray(X_pad)
+        out["mask_slot0map_flat"] = jnp.asarray(slot0map_flat)
+        out["mask_cntpad"] = jnp.asarray(cnt_pad)
+        out["mask_extoff"] = jnp.asarray(ext_off)
+        out["mask_extcol"] = jnp.asarray(ext_col)
+        out["mask_extval"] = jnp.asarray(ext_val)
+        out["mask_table"] = jnp.asarray(table)
+    elif use_fused_implicit(cfg):
         from marf_tpu.ops.pallas.fused_mask import build_mask_x, factor_mask_inputs
 
         if "mask_X" in data:
@@ -131,7 +157,9 @@ def flatten_planar_data(data: dict, cfg: PlanarConfig, params: dict | None = Non
     return out
 
 
-FLAT_KEYS = ("rgb_cf", "masks_cf", "grid_b", "mask_X")  # sharded on their column axis
+# sharded on their column axis: position-space streams over N, and the dedup
+# column space over K_pad (an independent axis — each is contiguous per device)
+FLAT_KEYS = ("rgb_cf", "masks_cf", "grid_b", "mask_X", "mask_Xall", "mask_slot0map_flat")
 
 
 def shard_flat_data(flat: dict, mesh: Mesh) -> dict:
@@ -180,6 +208,10 @@ def make_fused_sharded_chunk(
     from marf_tpu.models.planar import use_fused_implicit
 
     if use_fused_implicit(cfg):
+        if "mask_Xall" in data_keys:
+            return _make_implicit_dedup_sharded_chunk(
+                cfg, tx, mesh, data_keys, n_steps, use_homographies, donate
+            )
         return _make_implicit_sharded_chunk(
             cfg, tx, mesh, data_keys, n_steps, use_homographies, donate
         )
@@ -464,6 +496,218 @@ def _make_implicit_sharded_chunk(
     return jax.jit(sharded_chunk, donate_argnums=(0,) if donate else ())
 
 
+def _make_implicit_dedup_sharded_chunk(
+    cfg: PlanarConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    data_keys,
+    n_steps: int = 1,
+    use_homographies: bool = True,
+    donate: bool = True,
+):
+    """The shared-head DEDUP implicit pipeline under shard_map — the mesh
+    twin of engine/step.py `_fused_implicit_dedup_grads` (round-4 extension
+    making the best single-chip pipeline uniform across chip counts):
+
+    - the mask kernels run on the dedup COLUMN axis (K_pad = HW + E padded,
+      sharded independently of the position axis): mask fwd per column
+      shard, then one ~K_pad*4-byte `all_gather` makes the full m vector
+      global (it is needed position-wise everywhere);
+    - the slot0 position<->column expansion stays DENSE per device: a
+      contiguous position block's pixel indices are affine mod HW, so
+      m0-at-positions is a tile + `dynamic_slice` and the backward segment
+      sum is a `dynamic_update_slice` into a [T, HW] buffer reduced over T —
+      no [N]-scale gathers (the measured round-3 v1 failure mode, PERF.md);
+    - the extras (E ~1.5k columns) were grouped by owning device at setup
+      (slot_dedup_sharded_inputs), so their gathers/scatter-adds are
+      Eloc-sized; zero-valid padding contributes exact zeros;
+    - kernel B consumes the globally psum'd per-column segment sums on its
+      local column shard (padded columns have cnt = Ssq = 0 -> zero
+      gradient), and the dW/db partials psum over ICI.
+
+    Loss/metric semantics identical to the single-chip dedup path.
+    """
+    from marf_tpu.ops.pallas.fused_mask import (
+        fused_mask_backward_g,
+        fused_mask_forward,
+        mask_w_stack,
+        mask_w_stack_batched,
+        unfactor_mask_grads,
+    )
+    from marf_tpu.ops.pallas.fused_step import PB, fused_train_kernel, fused_train_kernel_warp
+
+    h, w = cfg.map_hw
+    B = cfg.batch_size
+    HW = h * w
+    N = B * HW
+    D = int(mesh.shape[DATA_AXIS])
+    Nl = N // D
+    T = -(-Nl // HW) + 1  # tiles covering any start-offset window of Nl
+    cdtype = cfg.arch.compute_dtype
+    compute_mask_error = cfg.use_implicit_mask and cfg.use_masks
+    data_specs = {k: (P(None, DATA_AXIS) if k in FLAT_KEYS else P()) for k in data_keys}
+
+    def step_local(state: TrainState, d: dict):
+        params = state.params
+        step = state.step
+        progress = step.astype(jnp.float32) / cfg.max_iter
+        didx = jax.lax.axis_index(DATA_AXIS)
+        alpha = (
+            alpha_schedule(step, cfg.max_iter, cfg.alpha_initial, cfg.alpha_final)
+            if cfg.use_edges
+            else jnp.asarray(0.0, dtype=jnp.float32)
+        )
+        C_r, C_e, C_m = implicit_loss_coeffs(cfg, alpha)
+        K_pad = d["mask_cntpad"].shape[1]
+        Klp = K_pad // D
+        Eloc = d["mask_extoff"].shape[1]
+
+        # ---- mask forward on the local column shard, gathered global
+        stack = mask_w_stack(params["implicit_mask"], d["mask_table"])
+        m_local_cols = fused_mask_forward(stack, d["mask_Xall"], cdtype)  # [1, Klp]
+        m_all = jax.lax.all_gather(m_local_cols, DATA_AXIS, axis=1, tiled=True)  # [1, K_pad]
+        msum = jnp.dot(d["mask_cntpad"][0], m_all[0])
+        inv_sum3 = 1.0 / (msum * 3.0)
+
+        # ---- dense expansion to the local position block: p = n mod HW is
+        # affine over the contiguous block, so a tile + dynamic_slice
+        start = (didx * Nl) % HW
+        m0_tiled = jnp.tile(m_all[:, :HW], (1, T))  # [1, T*HW]
+        m0_pos = jax.lax.dynamic_slice_in_dim(m0_tiled, start, Nl, axis=1)
+        m_local = d["mask_slot0map_flat"] * m0_pos  # [1, Nl]
+        if Eloc:
+            off = jax.lax.dynamic_index_in_dim(d["mask_extoff"], didx, 0, keepdims=False)
+            colj = jax.lax.dynamic_index_in_dim(d["mask_extcol"], didx, 0, keepdims=False)
+            val = jax.lax.dynamic_index_in_dim(d["mask_extval"], didx, 0, keepdims=False)
+            m_local = m_local.at[0, off].add(m_all[0, colj] * val)
+
+        # ---- rgb via the flagship train kernel on the local position shard
+        cw = (
+            barf_c2f_weights(progress, tuple(cfg.arch.barf_c2f), cfg.arch.posenc_L)
+            if (cfg.arch.posenc_L and cfg.arch.barf_c2f is not None)
+            else None
+        )
+        if cfg.fused_warp != "off" and B <= PB:
+            H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
+            rgb_local, loss_l, dmlp_l, dH, sq_local = fused_train_kernel_warp(
+                params["neural_image"], d["grid_b"], H, cw, d["rgb_cf"], m_local,
+                C_r, inv_sum3, cfg.arch,
+            )
+            dwarp = expm_vjp(jax.lax.psum(dH, DATA_AXIS))[0]
+        else:
+            coords_local, warp_vjp = jax.vjp(
+                lambda wp: _warp_cols(d["grid_b"], wp), params["warp"]
+            )
+            rgb_local, loss_l, dmlp_l, dcoords, sq_local = fused_train_kernel(
+                params["neural_image"], coords_local, cw, d["rgb_cf"], m_local,
+                C_r, inv_sum3, cfg.arch,
+            )
+            dwarp = jax.lax.psum(warp_vjp(dcoords)[0], DATA_AXIS)
+        rgb_loss = jax.lax.psum(loss_l, DATA_AXIS)
+        dmlp = jax.lax.psum(dmlp_l, DATA_AXIS)
+
+        # ---- edge term: conv replicated on the gathered rgb (gradient-
+        # blocked), channels-first layout (engine/step.py miscompile dodge)
+        if cfg.use_edges:
+            rgb_full = jax.lax.all_gather(rgb_local, DATA_AXIS, axis=1, tiled=True)  # [3, N]
+            edge_pred_cf = compute_edges(rgb_full.reshape(3, B, h, w), differentiable=False)
+            edges_cf = d["edges"].transpose(1, 0, 2, 3)
+            esq_full = jnp.sum((edge_pred_cf - edges_cf) ** 2, axis=0).reshape(1, N)
+            esq_local = jax.lax.dynamic_slice_in_dim(esq_full, didx * Nl, Nl, axis=1)
+            edge_loss = (
+                jax.lax.psum(jnp.sum(m_local * m_local * esq_local), DATA_AXIS) * inv_sum3
+            )
+        else:
+            esq_local = None
+            edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        mask_loss = jax.lax.psum(jnp.sum((1.0 - m_local) ** 2), DATA_AXIS) / N
+        loss = {
+            "render": render_loss(rgb_loss, edge_loss, mask_loss, alpha),
+            "rgb": rgb_loss,
+            "mask": mask_loss,
+            "edge": edge_loss,
+        }
+        total = summarize_loss(loss, cfg.loss_weight)
+
+        # ---- segment-sum the cotangent streams to column space: dense over
+        # slot0 (scatter the weighted local block into pixel space via one
+        # dynamic_update_slice, reduce the T tiles), Eloc-sized for extras;
+        # one [1, K_pad] psum makes the sums global
+        def seg_partial(v_local):  # [1, Nl] -> [1, K_pad] this shard's part
+            wv = d["mask_slot0map_flat"] * v_local  # [1, Nl]
+            buf = jnp.zeros((1, T * HW), dtype=wv.dtype)
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, wv, start, axis=1)
+            s0 = jnp.sum(buf.reshape(T, HW), axis=0)  # [HW]
+            part = jnp.zeros((K_pad,), dtype=wv.dtype).at[:HW].set(s0)
+            if Eloc:
+                ve = v_local[0, off] * val  # [Eloc]
+                part = part.at[colj].add(ve)  # zero-valid pads add 0 at col 0
+            return part[None]
+
+        Ssq = jax.lax.psum(seg_partial(sq_local), DATA_AXIS)
+        Sesq = jax.lax.psum(seg_partial(esq_local), DATA_AXIS) if cfg.use_edges else None
+
+        # ---- kernel B on the local column shard with global scalars
+        gscalars = mask_cot_scalars(
+            C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, cfg.use_edges
+        )
+        Ssq_l = jax.lax.dynamic_slice_in_dim(Ssq, didx * Klp, Klp, axis=1)
+        Sesq_l = (
+            jax.lax.dynamic_slice_in_dim(Sesq, didx * Klp, Klp, axis=1)
+            if Sesq is not None
+            else None
+        )
+        cnt_l = jax.lax.dynamic_slice_in_dim(d["mask_cntpad"], didx * Klp, Klp, axis=1)
+        stacks1 = mask_w_stack_batched(params["implicit_mask"], d["mask_table"], 1)
+        dstacks_local = fused_mask_backward_g(
+            stacks1, d["mask_Xall"], Ssq_l, Sesq_l, gscalars, cdtype, 1, cnt_cf=cnt_l
+        )
+        dstacks = jax.lax.psum(dstacks_local, DATA_AXIS)
+        dmask = unfactor_mask_grads(
+            [jax.tree.map(lambda a: a[0], layer) for layer in dstacks], d["mask_table"]
+        )
+        grads = {
+            "neural_image": dmlp,
+            "warp": dwarp,
+            "implicit_mask": dmask,
+            "view_embedding": jnp.zeros_like(params["view_embedding"]),
+        }
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        metrics = {f"loss_{k}": v for k, v in loss.items()}
+        metrics["all"] = total
+        metrics["PSNR"] = psnr_from_rgb_loss(loss["rgb"])
+        metrics["finite"] = check_finite(loss)
+        if use_homographies and d.get("gt_hom") is not None:
+            metrics["Homography_Error"] = homography_error(sl3_to_SL3(new_params["warp"]), d["gt_hom"])
+        if compute_mask_error:
+            metrics["Mask_Error"] = (
+                jax.lax.psum(jnp.sum((m_local - d["masks_cf"]) ** 2), DATA_AXIS) / N
+            )
+        if cfg.fix_first:
+            new_params = dict(new_params, warp=new_params["warp"].at[0].set(0.0))
+        return TrainState(step=step + 1, params=new_params, opt_state=opt_state), metrics
+
+    def chunk_local(state: TrainState, d: dict):
+        def body(carry, _):
+            return step_local(carry, d)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    sharded_chunk = shard_map(
+        chunk_local,
+        mesh=mesh,
+        in_specs=(P(), data_specs),
+        out_specs=(P(), P()),
+        # same rationale as make_fused_sharded_chunk: pallas_call out_shape
+        # structs carry no vma metadata
+        check_vma=False,
+    )
+    return jax.jit(sharded_chunk, donate_argnums=(0,) if donate else ())
+
+
 def make_fused_sharded_setup(
     cfg: PlanarConfig,
     tx: optax.GradientTransformation,
@@ -475,7 +719,9 @@ def make_fused_sharded_setup(
     donate: bool = True,
 ):
     """Convenience: (replicated fresh state, sharded flat data, jitted chunk)."""
-    sharded = shard_flat_data(flatten_planar_data(data, cfg, params), mesh)
+    sharded = shard_flat_data(
+        flatten_planar_data(data, cfg, params, n_devices=mesh.devices.size), mesh
+    )
     state = init_train_state(jax.device_put(params, replicate(mesh)), tx)
     chunk = make_fused_sharded_chunk(
         cfg, tx, mesh, tuple(sharded.keys()), n_steps, use_homographies, donate

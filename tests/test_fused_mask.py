@@ -387,3 +387,52 @@ def test_slot_dedup_builder_invariants(rng):
     for j in range(E):
         assert counts[ext_combo[j], ext_pix[j]] > 0
         assert ext_combo[j] != slot0[ext_pix[j]]
+
+
+def test_slot_dedup_sharded_builder_invariants(rng):
+    """slot_dedup_sharded_inputs: the per-device extras structures cover the
+    same (position, column) pairs as slot_dedup_inputs' extmap, each assigned
+    to its owning device, offsets local, padding zero-valid; the padded
+    column axis divides the mesh and carries zero counts."""
+    from marf_tpu.ops.pallas.fused_mask import (
+        N_COMBOS,
+        UV_DIM,
+        slot_dedup_inputs,
+        slot_dedup_sharded_inputs,
+    )
+
+    B, HW, D = 4, 64, 8
+    N = B * HW
+    Nl = N // D
+    uv = rng.randn(UV_DIM, HW).astype(np.float32)
+    combo = rng.randint(0, N_COMBOS, size=(B, HW))
+    onehot = np.eye(N_COMBOS, dtype=np.float32)[combo].transpose(0, 2, 1)
+    X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(uv, onehot)
+    K = X_all.shape[1]
+    X_pad, slot0map_flat, cnt_pad, ext_off, ext_col, ext_val = slot_dedup_sharded_inputs(
+        uv, onehot, D
+    )
+
+    assert X_pad.shape[1] % D == 0 and X_pad.shape[1] >= K
+    np.testing.assert_allclose(X_pad[:, :K], X_all)
+    assert (X_pad[:, K:] == 0).all()
+    np.testing.assert_allclose(cnt_pad[0, :K], cnt_all[0])
+    assert (cnt_pad[0, K:] == 0).all()
+    np.testing.assert_allclose(slot0map_flat, slot0map.reshape(1, N))
+
+    # reconstruct the extras (position, column) pair set and compare
+    pairs = set()
+    for d in range(D):
+        for e in range(ext_off.shape[1]):
+            if ext_val[d, e]:
+                n = d * Nl + ext_off[d, e]
+                assert 0 <= ext_off[d, e] < Nl  # offsets local to the device
+                pairs.add((int(n), int(ext_col[d, e])))
+            else:
+                assert ext_off[d, e] == 0 and ext_col[d, e] == 0
+    expect = set()
+    bb, jj = np.nonzero(extmap)
+    for b, j in zip(bb, jj):
+        expect.add((int(b * HW + ext_pix[j]), int(HW + j)))
+    assert pairs == expect
+    assert len(pairs) == int(extmap.sum())

@@ -136,6 +136,7 @@ def test_fused_implicit_shardmap_matches_single_device(rng, single, use_edges, b
         N_vocab=16,
         build_single_masks=single,
         fused_step="on",
+        fused_dedup="off",  # pin the NON-dedup mesh pipeline (dedup test below)
         arch=NeuralImageConfig(layers=(None, 32, 32, 3), posenc_L=4, barf_c2f=(0, 0.4)),
     )
     assert fused_shardable(cfg, 8)
@@ -181,6 +182,90 @@ def test_fused_implicit_shardmap_matches_single_device(rng, single, use_edges, b
         # measured: <=0.18% isolated flips, p99.9 ~ 1e-5, max ~ 1.4*lr; a
         # real head-indexing bug would mismatch a whole head block (12.5%)
         # at weight scale (~1e-1), far outside both bounds
+        bad = np.abs(w8 - w1) > (2e-4 * np.abs(w1) + 2e-6)
+        assert bad.mean() < 5e-3, f"mask head layer {li}: {bad.sum()}/{bad.size} mismatches"
+        assert np.abs(w8 - w1).max() < 3e-3, f"mask head layer {li}: max {np.abs(w8 - w1).max()}"
+
+
+@pytest.mark.parametrize("use_edges", [True, False])
+def test_fused_implicit_dedup_shardmap_matches_single_device(rng, use_edges):
+    """The shared-head DEDUP implicit pipeline under shard_map (round 4):
+    column-sharded mask kernels + dense per-device slot0 expansion/segment
+    sums + Eloc-sized extras must equal the single-device dedup step."""
+    from marf_tpu.ops.grid import normalized_pixel_grid
+    from marf_tpu.ops.pallas.fused_mask import factor_mask_inputs, slot_dedup_inputs
+    from marf_tpu.parallel.shard_fused import fused_shardable, make_fused_sharded_setup
+
+    cfg = mesh_cfg(
+        use_implicit_mask=True,
+        use_masks=True,
+        use_edges=use_edges,
+        alpha_initial=0.3,
+        N_vocab=16,
+        fused_step="on",
+        fused_dedup="on",
+        arch=NeuralImageConfig(layers=(None, 32, 32, 3), posenc_L=4, barf_c2f=(0, 0.4)),
+    )
+    assert fused_shardable(cfg, 8)
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    raw = fake_data(cfg, rng)
+    # saturate a pixel mix so the {0,1} quantization yields extras columns
+    # (uniform rgb floors to combo 0 everywhere -> no extras to exercise)
+    rgb = np.asarray(raw["rgb"])
+    rgb = np.where(rng.rand(*rgb.shape) > 0.5, 1.0, rgb).astype(np.float32)
+    raw = dict(raw, rgb=jnp.asarray(rgb))
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+
+    # single device, dedup arrays precomputed (engine/trainer layout)
+    grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+    uv, onehot, table = factor_mask_inputs(params["view_embedding"], raw["rgb"], grid)
+    X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(
+        np.asarray(uv), np.asarray(onehot)
+    )
+    assert extmap.sum() > 0  # the random data must exercise the extras path
+    ddata = dict(
+        raw,
+        mask_table=jnp.asarray(table),
+        mask_Xall=jnp.asarray(X_all),
+        mask_slot0map=jnp.asarray(slot0map),
+        mask_ext_pix=jnp.asarray(ext_pix),
+        mask_extmap=jnp.asarray(extmap),
+        mask_cntall=jnp.asarray(cnt_all),
+    )
+    state1 = init_train_state(params, tx)
+    chunk1 = make_train_chunk(make_train_step(cfg, tx), 2, donate=False)
+    s1, m1 = chunk1(state1, ddata)
+
+    # 8-device mesh: flatten builds the per-device dedup structures itself
+    mesh = make_mesh(8)
+    state8, data8, chunk8 = make_fused_sharded_setup(
+        cfg, tx, mesh, raw, params, n_steps=2, donate=False
+    )
+    assert "mask_Xall" in data8 and "mask_extoff" in data8
+    assert not data8["mask_Xall"].sharding.is_fully_replicated
+    assert not data8["mask_slot0map_flat"].sharding.is_fully_replicated
+    s8, m8 = chunk8(state8, data8)
+
+    keys = ["all", "loss_rgb", "loss_mask", "PSNR", "Homography_Error", "Mask_Error"]
+    if use_edges:
+        keys.append("loss_edge")
+    for key in keys:
+        np.testing.assert_allclose(
+            np.asarray(m8[key]), np.asarray(m1[key]), rtol=2e-5, atol=1e-7, err_msg=key
+        )
+    np.testing.assert_allclose(
+        np.asarray(s8.params["warp"]), np.asarray(s1.params["warp"]), rtol=2e-4, atol=2e-6
+    )
+    for li in range(len(cfg.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s8.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s1.params["neural_image"]["mlp"][li]["w"]),
+            rtol=2e-4, atol=2e-6, err_msg=f"neural_image layer {li}",
+        )
+    for li in range(5):
+        # same ICI-psum reorder noise rationale as the non-dedup test above
+        w8 = np.asarray(s8.params["implicit_mask"]["mlp"][li]["w"])
+        w1 = np.asarray(s1.params["implicit_mask"]["mlp"][li]["w"])
         bad = np.abs(w8 - w1) > (2e-4 * np.abs(w1) + 2e-6)
         assert bad.mean() < 5e-3, f"mask head layer {li}: {bad.sum()}/{bad.size} mismatches"
         assert np.abs(w8 - w1).max() < 3e-3, f"mask head layer {li}: max {np.abs(w8 - w1).max()}"
@@ -273,6 +358,46 @@ def test_trainer_multichip_shard_fused(tmp_path):
     # ~6e-5..3e-4 on warp after 20 iters through the Adam normalization —
     # same class as PARITY.md's rounding-chaos band; a wrong gradient would
     # diverge to 1e-2+ within a few steps)
+    np.testing.assert_allclose(
+        np.asarray(m8.state.params["warp"]), np.asarray(m1.state.params["warp"]),
+        rtol=2e-3, atol=5e-4,
+    )
+    import sys
+
+    sys.path.insert(0, "tools")
+    from compare_runs import compare, load_scalars
+
+    report = compare(load_scalars(m1.opt.output_path), load_scalars(m8.opt.output_path))
+    assert report, "no TB curves found to compare"
+    for tag, row in report.items():
+        assert row["status"] == "ok", (tag, row)
+        assert row["max_abs_diff"] < 5e-3, (tag, row)
+
+
+def test_trainer_multichip_implicit_dedup(tmp_path):
+    """The trainer's mesh path with the shared-head dedup pipeline: the
+    factored inputs are stashed by _build_compiled (mask_uv/mask_onehot),
+    flatten builds the per-device structures, and the run matches the
+    single-device dedup trainer."""
+    from tests.test_train_integration import make_opt, run_lifecycle
+
+    def implicit_opt(name):
+        o = make_opt(tmp_path, name=name, max_iter=20, output_path=str(tmp_path / name))
+        o.use_masks = False
+        o.use_implicit_mask = True
+        o.tpu.fused_step = "on"
+        o.tpu.fused_dedup = "on"
+        return o
+
+    m1 = run_lifecycle(implicit_opt("dedup1"))
+    opt8 = implicit_opt("dedup8")
+    opt8.tpu.n_devices = 8
+    m8 = run_lifecycle(opt8)
+
+    assert m8.shard_fused
+    assert "mask_Xall" in m8.train_data and "mask_extoff" in m8.train_data
+    assert not m8.train_data["mask_Xall"].sharding.is_fully_replicated
+    # same rounding-decoupling rationale as test_trainer_multichip_shard_fused
     np.testing.assert_allclose(
         np.asarray(m8.state.params["warp"]), np.asarray(m1.state.params["warp"]),
         rtol=2e-3, atol=5e-4,

@@ -1,0 +1,159 @@
+"""Harvest a tools/tpu_sweep.sh run into the repo's evidence artifacts.
+
+Reads the sweep's JSONL (default /tmp/tpu_sweep.jsonl), then:
+
+1. prints a PERF.md-ready measurement table (tag, steps/s, vs_baseline,
+   final PSNR, golden status) plus the derived verdicts: dedup on/off delta,
+   streams 1/2/3 deltas, bf16 delta;
+2. with --apply:
+   - writes `marf_tpu/hw_validation.json` recording the fused_dedup hardware
+     validation IF the dedup-forced implicit600 run passed its golden check
+     (models/planar.dedup_hw_validated gates fused_dedup='auto' on this);
+   - records canonical@600/seed3 and noposenc@600/seed3 goldens in
+     tools/bench_goldens.json (band 0.35, same class as the implicit
+     entries) if absent.
+
+Nothing is overwritten silently: existing goldens are kept (re-record
+deliberately, per CLAUDE.md), and the validation record includes the
+measured numbers for audit.
+
+Usage:
+    python tools/harvest_sweep.py [/tmp/tpu_sweep.jsonl] [--apply]
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDENS = os.path.join(REPO, "tools", "bench_goldens.json")
+HW_VALIDATION = os.path.join(REPO, "marf_tpu", "hw_validation.json")
+
+
+def load_rows(path):
+    rows = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            rows[rec["tag"]] = rec.get("r") if "r" in rec else rec
+    return rows
+
+
+def val(rows, tag, *keys):
+    r = rows.get(tag)
+    if not r or r.get("error"):
+        return None
+    cur = r
+    for k in keys:
+        cur = (cur or {}).get(k)
+    return cur
+
+
+def main(argv):
+    path = "/tmp/tpu_sweep.jsonl"
+    apply_ = False
+    for a in argv[1:]:
+        if a == "--apply":
+            apply_ = True
+        else:
+            path = a
+    rows = load_rows(path)
+    if not rows:
+        print(f"no rows in {path}")
+        return 1
+
+    print(f"| tag | steps/s | vs baseline | PSNR (dB) | golden |")
+    print(f"|---|---|---|---|---|")
+    for tag, r in rows.items():
+        if isinstance(r, dict) and "ok" in r and "value" not in r:  # tripwire-style rows
+            print(f"| {tag} | {'OK' if r['ok'] else 'FAILED'} | | | |")
+            continue
+        if not isinstance(r, dict) or r.get("error") or r.get("value") is None:
+            print(f"| {tag} | FAILED | | | |")
+            continue
+        g = (r.get("extra") or {}).get("golden")
+        gtxt = ("held" if g["ok"] else f"FAILED d={g['delta']}") if g else "—"
+        psnr = (r.get("extra") or {}).get("final_psnr_db")
+        ptxt = f"{psnr:.2f}" if isinstance(psnr, (int, float)) else "—"
+        print(f"| {tag} | {r['value']:.1f} | {r.get('vs_baseline', 0):.1f}x | {ptxt} | {gtxt} |")
+
+    def sps(tag):
+        return val(rows, tag, "value")
+
+    print()
+    pairs = [
+        ("dedup win", "implicit600", "implicit_nodedup"),
+        ("canonical streams=2", "canon_s2", "canonical600"),
+        ("canonical streams=3", "canon_s3", "canonical600"),
+        ("implicit streams=2", "implicit_s2", "implicit600"),
+        ("implicit_single streams=2", "implicit_single_s2", "implicit_s600"),
+        ("canonical bf16", "canon_bf16", "canonical600"),
+    ]
+    for label, a, b in pairs:
+        va, vb = sps(a), sps(b)
+        if va and vb:
+            print(f"{label}: {va:.1f} vs {vb:.1f} steps/s ({(va / vb - 1) * 100:+.1f}%)")
+
+    # dedup hardware validation: the implicit600 sweep run forces dedup=on
+    # and keeps the golden check enabled — a green run IS the validation
+    imp = rows.get("implicit600")
+    golden = (imp or {}).get("extra", {}).get("golden") if isinstance(imp, dict) else None
+    dedup_ok = bool(
+        isinstance(imp, dict)
+        and not imp.get("error")
+        and imp.get("value")
+        and golden
+        and golden.get("ok")
+    )
+    print(f"\nfused_dedup hardware validation: {'PASS' if dedup_ok else 'NOT ESTABLISHED'}")
+
+    if not apply_:
+        print("\n(dry run — pass --apply to write hw_validation.json / goldens)")
+        return 0
+
+    if dedup_ok:
+        rec = {
+            "fused_dedup": {
+                "validated": True,
+                "evidence": {
+                    "case": "implicit600 (MARF_BENCH_FUSED_DEDUP=on, golden held)",
+                    "steps_per_sec": imp["value"],
+                    "psnr": imp.get("extra", {}).get("final_psnr_db"),
+                    "golden": golden,
+                },
+            }
+        }
+        with open(HW_VALIDATION, "w") as f:
+            json.dump(rec, f, indent=2)
+            f.write("\n")
+        print(f"wrote {HW_VALIDATION}")
+    else:
+        print("skipping hw_validation.json (no green dedup run)")
+
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    changed = False
+    for tag, key in (("canonical600", "canonical@600/seed3"), ("noposenc600", "noposenc@600/seed3")):
+        if key in goldens:
+            print(f"golden {key} already recorded — keeping it")
+            continue
+        psnr = val(rows, tag, "extra", "final_psnr_db")
+        if psnr is None:
+            print(f"golden {key}: no measurement in the sweep, skipped")
+            continue
+        goldens[key] = {"psnr": round(float(psnr), 2), "band": 0.35}
+        changed = True
+        print(f"recorded golden {key}: {goldens[key]}")
+    if changed:
+        with open(GOLDENS, "w") as f:
+            json.dump(goldens, f, indent=2)
+            f.write("\n")
+        print(f"wrote {GOLDENS}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
