@@ -52,7 +52,7 @@ from marf_tpu.ops.losses import (
     render_loss,
     summarize_loss,
 )
-from marf_tpu.ops.pallas.fused_step import fused_train_kernel_warp
+from marf_tpu.ops.pallas.fused_step import PB, fused_train_kernel, fused_train_kernel_warp
 from marf_tpu.ops.posenc import barf_c2f_weights
 from marf_tpu.parallel.mesh import DATA_AXIS, replicate
 
@@ -60,26 +60,20 @@ from marf_tpu.parallel.mesh import DATA_AXIS, replicate
 def fused_shardable(cfg: PlanarConfig, n_devices: int) -> bool:
     """Whether a fused Pallas pipeline can run under the pixel-sharded mesh.
 
-    Fixed/no-mask configs: the flat pixel axis must divide over the mesh and
-    B must fit the v5 kernel's padded image axis (the single-chip gate in
-    engine/step.py falls back to v4 for B > PB; this path has no v4 leg, so
-    it must decline instead). Implicit-mask configs: the two-kernel implicit
-    pipeline shards too (round 3) — per-image heads need whole heads per
-    device (B % n_devices == 0), the shared head only column divisibility."""
+    Fixed/no-mask configs: the flat pixel axis must divide over the mesh
+    (the kernel leg mirrors the single-chip gate in engine/step.py — v5
+    in-kernel warp for B <= PB, the v4 coords-based kernel otherwise).
+    Implicit-mask configs: the two-kernel implicit pipeline shards too
+    (round 3) — per-image heads need whole heads per device
+    (B % n_devices == 0), the shared head only column divisibility."""
     from marf_tpu.models.planar import use_fused_implicit, use_fused_step
-    from marf_tpu.ops.pallas.fused_step import PB
 
     h, w = cfg.map_hw
     if use_fused_implicit(cfg):
         if cfg.build_single_masks:
             return cfg.batch_size % n_devices == 0
         return (cfg.batch_size * h * w) % n_devices == 0
-    return (
-        use_fused_step(cfg)
-        and cfg.fused_warp != "off"
-        and cfg.batch_size <= PB
-        and (cfg.batch_size * h * w) % n_devices == 0
-    )
+    return use_fused_step(cfg) and (cfg.batch_size * h * w) % n_devices == 0
 
 
 def flatten_planar_data(
@@ -241,15 +235,27 @@ def make_fused_sharded_chunk(
         # global masked-MSE normalization: psum the local mask sum over ICI
         inv_sum3 = 1.0 / (jax.lax.psum(jnp.sum(d["masks_cf"]), DATA_AXIS) * 3.0)
 
-        H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
-        rgb_local, loss_local, dmlp, dH, _sq = fused_train_kernel_warp(
-            params["neural_image"], d["grid_b"], H, cw, d["rgb_cf"], d["masks_cf"],
-            g_loss_scale, inv_sum3, cfg.arch,
-        )
+        if cfg.fused_warp != "off" and B <= PB:
+            # v5: warp + its VJP in-kernel (single-chip gate, engine/step.py)
+            H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
+            rgb_local, loss_local, dmlp, dH, _sq = fused_train_kernel_warp(
+                params["neural_image"], d["grid_b"], H, cw, d["rgb_cf"], d["masks_cf"],
+                g_loss_scale, inv_sum3, cfg.arch,
+            )
+            dwarp = expm_vjp(jax.lax.psum(dH, DATA_AXIS))[0]
+        else:
+            # v4: per-column warp in XLA (handles any B), kernel on coords
+            coords_local, warp_vjp = jax.vjp(
+                lambda wp: _warp_cols(d["grid_b"], wp), params["warp"]
+            )
+            rgb_local, loss_local, dmlp, dcoords, _sq = fused_train_kernel(
+                params["neural_image"], coords_local, cw, d["rgb_cf"], d["masks_cf"],
+                g_loss_scale, inv_sum3, cfg.arch,
+            )
+            dwarp = jax.lax.psum(warp_vjp(dcoords)[0], DATA_AXIS)
         # gradients + loss partials all-reduce over ICI
         rgb_loss = jax.lax.psum(loss_local, DATA_AXIS)
         dmlp = jax.lax.psum(dmlp, DATA_AXIS)
-        dwarp = expm_vjp(jax.lax.psum(dH, DATA_AXIS))[0]
         grads = {"neural_image": dmlp, "warp": dwarp}
 
         if cfg.use_edges:

@@ -116,6 +116,52 @@ def test_fused_shardmap_matches_single_device_fused(rng):
         )
 
 
+@pytest.mark.parametrize("batch_size,fused_warp", [(9, "on"), (3, "off")])
+def test_fused_shardmap_v4_leg_matches_single_device(rng, batch_size, fused_warp):
+    """Fixed-mask configs beyond the v5 kernel's image-axis bound (B > PB)
+    or with the in-kernel warp disabled run the v4 coords-based kernel under
+    shard_map (round 4 — previously these fell back to the GSPMD XLA step)."""
+    from marf_tpu.ops.pallas.fused_step import PB
+    from marf_tpu.parallel.shard_fused import fused_shardable, make_fused_sharded_setup
+
+    if fused_warp == "on":
+        assert batch_size > PB  # must actually exercise the B > PB fallback
+    cfg = mesh_cfg(
+        batch_size=batch_size,
+        fused_step="on",
+        fused_warp=fused_warp,
+        arch=NeuralImageConfig(layers=(None, 32, 32, 3), posenc_L=4, barf_c2f=(0, 0.4)),
+    )
+    assert fused_shardable(cfg, 8)
+    params = init_graph_params(jax.random.PRNGKey(0), cfg)
+    raw = fake_data(cfg, rng)
+    tx = make_optimizer(OPTIM, cfg.max_iter)
+
+    state1 = init_train_state(params, tx)
+    chunk1 = make_train_chunk(make_train_step(cfg, tx), 2, donate=False)
+    s1, m1 = chunk1(state1, raw)
+
+    mesh = make_mesh(8)
+    state8, data8, chunk8 = make_fused_sharded_setup(
+        cfg, tx, mesh, raw, params, n_steps=2, donate=False
+    )
+    s8, m8 = chunk8(state8, data8)
+
+    for key in ("all", "loss_rgb", "loss_edge", "PSNR", "Homography_Error"):
+        np.testing.assert_allclose(
+            np.asarray(m8[key]), np.asarray(m1[key]), rtol=2e-5, atol=1e-7, err_msg=key
+        )
+    np.testing.assert_allclose(
+        np.asarray(s8.params["warp"]), np.asarray(s1.params["warp"]), rtol=2e-4, atol=2e-6
+    )
+    for li in range(len(cfg.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s8.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s1.params["neural_image"]["mlp"][li]["w"]),
+            rtol=2e-4, atol=2e-6, err_msg=f"layer {li}",
+        )
+
+
 @pytest.mark.parametrize(
     "single,use_edges,batch_size",
     [(False, True, 3), (False, False, 3), (True, True, 8)],
