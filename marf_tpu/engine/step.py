@@ -348,8 +348,20 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             "rgb_prediction_map": rgb_map,
         }
         if cfg.use_edges:
-            outputs["edge_prediction"] = compute_edges(rgb_map, differentiable=False)
-            edge_loss = mse(outputs["edge_prediction"], data["edges"], data.get("masks_eroded"))
+            # channels-first conv on the [3, B, h, w] view: the image axis
+            # rides as conv channels (depthwise filter — equivalent math),
+            # rgb_cf reshapes for FREE instead of a [B,3,h,w] transpose copy
+            # each step; the target/mask transposes are loop-invariant
+            # constants XLA hoists out of the scan. Same layout (and the
+            # same miscompile-dodging property) as the implicit pipeline.
+            edge_pred_cf = compute_edges(rgb_cf.reshape(3, B, h, w), differentiable=False)
+            outputs["edge_prediction"] = edge_pred_cf.transpose(1, 0, 2, 3)
+            me = data.get("masks_eroded")
+            edge_loss = mse(
+                edge_pred_cf,
+                data["edges"].transpose(1, 0, 2, 3),
+                None if me is None else me.transpose(1, 0, 2, 3),
+            )
         else:
             edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
         mask_loss = jnp.asarray(0.0, dtype=jnp.float32)

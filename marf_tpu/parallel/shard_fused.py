@@ -261,11 +261,16 @@ def make_fused_sharded_chunk(
         if cfg.use_edges:
             # gather the rgb shards (tiled -> [3, N]) and run the conv
             # replicated — the edge term is gradient-blocked, so this costs
-            # one small all_gather and no backward collective
+            # one small all_gather and no backward collective; channels-first
+            # layout (free reshape, no transpose copy — engine/step.py)
             rgb_full = jax.lax.all_gather(rgb_local, DATA_AXIS, axis=1, tiled=True)
-            rgb_map = rgb_full.reshape(3, B, h, w).transpose(1, 0, 2, 3)
-            edge_pred = compute_edges(rgb_map, differentiable=False)
-            edge_loss = mse(edge_pred, d["edges"], d.get("masks_eroded"))
+            edge_pred_cf = compute_edges(rgb_full.reshape(3, B, h, w), differentiable=False)
+            me = d.get("masks_eroded")
+            edge_loss = mse(
+                edge_pred_cf,
+                d["edges"].transpose(1, 0, 2, 3),
+                None if me is None else me.transpose(1, 0, 2, 3),
+            )
         else:
             edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
         mask_loss = jnp.asarray(0.0, dtype=jnp.float32)
