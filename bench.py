@@ -26,6 +26,8 @@ Env knobs (defaults = the faithful canonical config):
     MARF_BENCH_FUSED_STEP  auto | on | off (tpu.fused_step)
     MARF_BENCH_FUSED_WARP  auto | on | off (tpu.fused_warp, v5 in-kernel warp)
     MARF_BENCH_FUSED_DEDUP auto | on | off (tpu.fused_dedup, implicit column dedup)
+    MARF_BENCH_LAZY_METRICS auto | on | off (tpu.lazy_metrics: chunk-final-only
+                           edge term / Homography_Error / Mask_Error)
     MARF_BENCH_PRECISION   '' | highest (jax_default_matmul_precision)
     MARF_BENCH_CHECK       1 (default) = assert final PSNR against
                            tools/bench_goldens.json when a golden exists
@@ -54,6 +56,7 @@ PRECISION = os.environ.get("MARF_BENCH_PRECISION", "")
 FUSED_STEP = os.environ.get("MARF_BENCH_FUSED_STEP", "auto")
 FUSED_WARP = os.environ.get("MARF_BENCH_FUSED_WARP", "auto")
 FUSED_DEDUP = os.environ.get("MARF_BENCH_FUSED_DEDUP", "auto")
+LAZY_METRICS = os.environ.get("MARF_BENCH_LAZY_METRICS", "auto")
 
 # BASELINE.md evaluation configs (reference script.py case table)
 CASES = {
@@ -97,6 +100,7 @@ def build_model():
     opt.tpu.fused_step = FUSED_STEP
     opt.tpu.fused_warp = FUSED_WARP
     opt.tpu.fused_dedup = FUSED_DEDUP
+    opt.tpu.lazy_metrics = LAZY_METRICS
     if no_posenc:
         opt.arch.posenc = False
 

@@ -33,6 +33,8 @@ from marf_tpu.models.planar import (
     graph_loss,
     use_fused_implicit,
     use_fused_step,
+    use_lazy_aux_metrics,
+    use_lazy_edge_metrics,
 )
 from marf_tpu.ops.lie import sl3_to_SL3
 from marf_tpu.ops.losses import (
@@ -265,10 +267,12 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         (total, (loss, outputs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return total, loss, outputs, grads
 
-    def _fused_step_grads(state, data, progress, step):
+    def _fused_step_grads(state, data, progress, step, heavy):
         """Single-pass Pallas kernel path (ops/pallas/fused_step.py): the MLP
         gradient is computed in-kernel from the analytically known masked-MSE
-        cotangent; only the tiny warp chain goes through jax.vjp."""
+        cotangent; only the tiny warp chain goes through jax.vjp. `heavy`
+        gates the lazy-edge-metrics path (models/planar.use_lazy_edge_metrics):
+        the gradient-blocked edge term runs only at chunk-final steps."""
         from marf_tpu.ops.filters import compute_edges
         from marf_tpu.ops.grid import normalized_pixel_grid
         from marf_tpu.ops.pallas.fused_step import fused_train_kernel
@@ -354,14 +358,26 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             # each step; the target/mask transposes are loop-invariant
             # constants XLA hoists out of the scan. Same layout (and the
             # same miscompile-dodging property) as the implicit pipeline.
-            edge_pred_cf = compute_edges(rgb_cf.reshape(3, B, h, w), differentiable=False)
-            outputs["edge_prediction"] = edge_pred_cf.transpose(1, 0, 2, 3)
-            me = data.get("masks_eroded")
-            edge_loss = mse(
-                edge_pred_cf,
-                data["edges"].transpose(1, 0, 2, 3),
-                None if me is None else me.transpose(1, 0, 2, 3),
-            )
+            def _edge_loss():
+                edge_pred_cf = compute_edges(
+                    rgb_cf.reshape(3, B, h, w), differentiable=False
+                )
+                me = data.get("masks_eroded")
+                return mse(
+                    edge_pred_cf,
+                    data["edges"].transpose(1, 0, 2, 3),
+                    None if me is None else me.transpose(1, 0, 2, 3),
+                )
+
+            if use_lazy_edge_metrics(cfg):
+                # gradient-blocked term, boundary-only consumers: run the
+                # conv only at chunk-final steps (heavy); intermediate rows
+                # report edge_loss = 0 and feed only the finite check
+                edge_loss = jax.lax.cond(
+                    heavy, _edge_loss, lambda: jnp.asarray(0.0, dtype=jnp.float32)
+                )
+            else:
+                edge_loss = _edge_loss()
         else:
             edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
         mask_loss = jnp.asarray(0.0, dtype=jnp.float32)
@@ -667,12 +683,12 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         }
         return total, loss, outputs, grads
 
-    def step_fn(state: TrainState, data: dict):
+    def step_fn(state: TrainState, data: dict, heavy=True):
         step = state.step
         progress = step.astype(jnp.float32) / cfg.max_iter
 
         if fused:
-            total, loss, outputs, grads = _fused_step_grads(state, data, progress, step)
+            total, loss, outputs, grads = _fused_step_grads(state, data, progress, step, heavy)
         elif fused_implicit:
             total, loss, outputs, grads = _fused_implicit_grads(state, data, progress, step)
         else:
@@ -684,10 +700,22 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         metrics["all"] = total
         metrics["PSNR"] = psnr_from_rgb_loss(loss["rgb"])
         metrics["finite"] = check_finite(loss)
+
+        def _lazy(fn):
+            # pure-metric scalars (models/planar.use_lazy_aux_metrics): only
+            # chunk-final rows are consumed, intermediate rows report 0
+            if use_lazy_aux_metrics(cfg):
+                return jax.lax.cond(heavy, fn, lambda: jnp.asarray(0.0, dtype=jnp.float32))
+            return fn()
+
         if use_homographies and data.get("gt_hom") is not None:
-            metrics["Homography_Error"] = homography_error(sl3_to_SL3(params["warp"]), data["gt_hom"])
+            metrics["Homography_Error"] = _lazy(
+                lambda: homography_error(sl3_to_SL3(params["warp"]), data["gt_hom"])
+            )
         if compute_mask_error:
-            metrics["Mask_Error"] = mse(outputs["mask_prediction_map"], data["masks"])
+            metrics["Mask_Error"] = _lazy(
+                lambda: mse(outputs["mask_prediction_map"], data["masks"])
+            )
 
         if cfg.fix_first:
             # Pin the gauge: re-zero the first image's warp after each update
@@ -709,11 +737,13 @@ def make_train_chunk(step_fn, n_steps: int, donate: bool = True):
     """
 
     def chunk(state: TrainState, data: dict):
-        def body(carry, _):
-            new_state, metrics = step_fn(carry, data)
+        def body(carry, i):
+            # heavy = chunk-final step: the only row whose metrics are
+            # consumed beyond the finite check (trainer logs metrics[k][-1])
+            new_state, metrics = step_fn(carry, data, heavy=(i == n_steps - 1))
             return new_state, metrics
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
 
     return jax.jit(chunk, donate_argnums=(0,) if donate else ())
 

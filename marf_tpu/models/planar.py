@@ -82,6 +82,12 @@ class PlanarConfig:
     # fused_mask.py slot_dedup_inputs): shared-head single-chip only;
     # 'auto' = on whenever that pipeline runs
     fused_dedup: str = "auto"
+    # compute metric-only work (the gradient-blocked edge term in the fused
+    # fixed-mask paths, the post-update Homography_Error expm, Mask_Error)
+    # only at chunk-final steps: none of it affects updates, and only
+    # chunk-boundary metric rows are consumed (TB cadence / bench finals) —
+    # 'auto' (on TPU), 'on', 'off'
+    lazy_metrics: str = "auto"
     # loss weights in log10 scale; None disables a term (planar.yaml:67-71)
     w_render: float | None = 0.0
     w_rgb: float | None = 0.0
@@ -150,6 +156,7 @@ class PlanarConfig:
             fused_step=tristate("fused_step"),
             fused_warp=tristate("fused_warp"),
             fused_dedup=tristate("fused_dedup"),
+            lazy_metrics=tristate("lazy_metrics"),
             warp_type=opt.warp.type,
             warp_dof=opt.warp.dof,
             fix_first=bool(opt.warp.get("fix_first", True)),
@@ -225,6 +232,42 @@ def dedup_hw_validated() -> bool:
         return bool(rec.get("fused_dedup", {}).get("validated", False))
     except (OSError, ValueError):
         return False
+
+
+def _lazy_metrics_enabled(cfg: PlanarConfig) -> bool:
+    if cfg.lazy_metrics == "off":
+        return False
+    if cfg.lazy_metrics == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def use_lazy_edge_metrics(cfg: PlanarConfig) -> bool:
+    """Whether the fused fixed-mask step computes the edge term only at
+    chunk-final steps. Safe because the edge loss is gradient-blocked
+    (reference inputs.py:50-69 .detach()) — it NEVER affects the parameter
+    update — and the trainer/bench consume only chunk-boundary metric rows
+    (trainer._train_loop logs `metrics[k][-1]`); intermediate stacked rows
+    carry edge_loss = 0 and are used only by the per-step finite check,
+    where the edge term is redundant (it derives from the rgb prediction and
+    constant targets, so any non-finite source is caught by the rgb terms).
+    Implicit-mask configs keep per-step edges — their esq stream feeds the
+    mask cotangent. Fix-mode differentiable edges also disable this."""
+    if not cfg.use_edges:
+        return False
+    if cfg.use_implicit_mask or cfg.differentiable_edges:
+        return False
+    return _lazy_metrics_enabled(cfg)
+
+
+def use_lazy_aux_metrics(cfg: PlanarConfig) -> bool:
+    """Whether the step computes the pure-metric scalars (Homography_Error —
+    a post-update Padé expm + corner warp per step — and Mask_Error, an
+    [N]-scale MSE) only at chunk-final steps. These never feed the update or
+    the per-step finite check (`check_finite(loss)` covers the loss terms
+    only), and the trainer consumes only chunk-boundary rows; intermediate
+    rows report 0."""
+    return _lazy_metrics_enabled(cfg)
 
 
 def use_fused_dedup(cfg: PlanarConfig) -> bool:

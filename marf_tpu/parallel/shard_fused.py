@@ -39,7 +39,7 @@ from marf_tpu.engine.step import (
     init_train_state,
     mask_cot_scalars,
 )
-from marf_tpu.models.planar import PlanarConfig
+from marf_tpu.models.planar import PlanarConfig, use_lazy_aux_metrics, use_lazy_edge_metrics
 from marf_tpu.ops.filters import compute_edges
 from marf_tpu.ops.grid import normalized_pixel_grid
 from marf_tpu.ops.lie import sl3_to_SL3
@@ -55,6 +55,16 @@ from marf_tpu.ops.losses import (
 from marf_tpu.ops.pallas.fused_step import PB, fused_train_kernel, fused_train_kernel_warp
 from marf_tpu.ops.posenc import barf_c2f_weights
 from marf_tpu.parallel.mesh import DATA_AXIS, replicate
+
+
+def _aux_metric(cfg: PlanarConfig, heavy, fn):
+    """Pure-metric scalar (models/planar.use_lazy_aux_metrics): computed only
+    at chunk-final steps, intermediate rows report 0. `heavy` derives from
+    the scan index, so it is uniform across devices — any collective inside
+    `fn` (e.g. the Mask_Error psum) runs on all devices or none."""
+    if use_lazy_aux_metrics(cfg):
+        return jax.lax.cond(heavy, fn, lambda: jnp.asarray(0.0, dtype=jnp.float32))
+    return fn()
 
 
 def fused_shardable(cfg: PlanarConfig, n_devices: int) -> bool:
@@ -213,8 +223,9 @@ def make_fused_sharded_chunk(
     B = cfg.batch_size
     data_specs = {k: (P(None, DATA_AXIS) if k in FLAT_KEYS else P()) for k in data_keys}
 
-    def step_local(state: TrainState, d: dict):
-        """Per-device body: local kernel + ICI collectives."""
+    def step_local(state: TrainState, d: dict, heavy=True):
+        """Per-device body: local kernel + ICI collectives. `heavy` gates the
+        lazy-edge-metrics path (models/planar.use_lazy_edge_metrics)."""
         params = state.params
         step = state.step
         progress = step.astype(jnp.float32) / cfg.max_iter
@@ -263,14 +274,24 @@ def make_fused_sharded_chunk(
             # replicated — the edge term is gradient-blocked, so this costs
             # one small all_gather and no backward collective; channels-first
             # layout (free reshape, no transpose copy — engine/step.py)
-            rgb_full = jax.lax.all_gather(rgb_local, DATA_AXIS, axis=1, tiled=True)
-            edge_pred_cf = compute_edges(rgb_full.reshape(3, B, h, w), differentiable=False)
-            me = d.get("masks_eroded")
-            edge_loss = mse(
-                edge_pred_cf,
-                d["edges"].transpose(1, 0, 2, 3),
-                None if me is None else me.transpose(1, 0, 2, 3),
-            )
+            def _edge_loss():
+                rgb_full = jax.lax.all_gather(rgb_local, DATA_AXIS, axis=1, tiled=True)
+                edge_pred_cf = compute_edges(
+                    rgb_full.reshape(3, B, h, w), differentiable=False
+                )
+                me = d.get("masks_eroded")
+                return mse(
+                    edge_pred_cf,
+                    d["edges"].transpose(1, 0, 2, 3),
+                    None if me is None else me.transpose(1, 0, 2, 3),
+                )
+
+            if use_lazy_edge_metrics(cfg):
+                edge_loss = jax.lax.cond(
+                    heavy, _edge_loss, lambda: jnp.asarray(0.0, dtype=jnp.float32)
+                )
+            else:
+                edge_loss = _edge_loss()
         else:
             edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
         mask_loss = jnp.asarray(0.0, dtype=jnp.float32)
@@ -290,16 +311,19 @@ def make_fused_sharded_chunk(
         metrics["PSNR"] = psnr_from_rgb_loss(loss["rgb"])
         metrics["finite"] = check_finite(loss)
         if use_homographies and d.get("gt_hom") is not None:
-            metrics["Homography_Error"] = homography_error(sl3_to_SL3(new_params["warp"]), d["gt_hom"])
+            metrics["Homography_Error"] = _aux_metric(
+                cfg, heavy,
+                lambda: homography_error(sl3_to_SL3(new_params["warp"]), d["gt_hom"]),
+            )
         if cfg.fix_first:
             new_params = dict(new_params, warp=new_params["warp"].at[0].set(0.0))
         return TrainState(step=step + 1, params=new_params, opt_state=opt_state), metrics
 
     def chunk_local(state: TrainState, d: dict):
-        def body(carry, _):
-            return step_local(carry, d)
+        def body(carry, i):
+            return step_local(carry, d, heavy=(i == n_steps - 1))
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
 
     sharded_chunk = shard_map(
         chunk_local,
@@ -367,7 +391,7 @@ def _make_implicit_sharded_chunk(
     compute_mask_error = cfg.use_implicit_mask and cfg.use_masks
     data_specs = {k: (P(None, DATA_AXIS) if k in FLAT_KEYS else P()) for k in data_keys}
 
-    def step_local(state: TrainState, d: dict):
+    def step_local(state: TrainState, d: dict, heavy=True):
         params = state.params
         step = state.step
         progress = step.astype(jnp.float32) / cfg.max_iter
@@ -479,20 +503,24 @@ def _make_implicit_sharded_chunk(
         metrics["PSNR"] = psnr_from_rgb_loss(loss["rgb"])
         metrics["finite"] = check_finite(loss)
         if use_homographies and d.get("gt_hom") is not None:
-            metrics["Homography_Error"] = homography_error(sl3_to_SL3(new_params["warp"]), d["gt_hom"])
+            metrics["Homography_Error"] = _aux_metric(
+                cfg, heavy,
+                lambda: homography_error(sl3_to_SL3(new_params["warp"]), d["gt_hom"]),
+            )
         if compute_mask_error:
-            metrics["Mask_Error"] = (
-                jax.lax.psum(jnp.sum((m_local - d["masks_cf"]) ** 2), DATA_AXIS) / N
+            metrics["Mask_Error"] = _aux_metric(
+                cfg, heavy,
+                lambda: jax.lax.psum(jnp.sum((m_local - d["masks_cf"]) ** 2), DATA_AXIS) / N,
             )
         if cfg.fix_first:
             new_params = dict(new_params, warp=new_params["warp"].at[0].set(0.0))
         return TrainState(step=step + 1, params=new_params, opt_state=opt_state), metrics
 
     def chunk_local(state: TrainState, d: dict):
-        def body(carry, _):
-            return step_local(carry, d)
+        def body(carry, i):
+            return step_local(carry, d, heavy=(i == n_steps - 1))
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
 
     sharded_chunk = shard_map(
         chunk_local,
@@ -558,7 +586,7 @@ def _make_implicit_dedup_sharded_chunk(
     compute_mask_error = cfg.use_implicit_mask and cfg.use_masks
     data_specs = {k: (P(None, DATA_AXIS) if k in FLAT_KEYS else P()) for k in data_keys}
 
-    def step_local(state: TrainState, d: dict):
+    def step_local(state: TrainState, d: dict, heavy=True):
         params = state.params
         step = state.step
         progress = step.astype(jnp.float32) / cfg.max_iter
@@ -692,20 +720,24 @@ def _make_implicit_dedup_sharded_chunk(
         metrics["PSNR"] = psnr_from_rgb_loss(loss["rgb"])
         metrics["finite"] = check_finite(loss)
         if use_homographies and d.get("gt_hom") is not None:
-            metrics["Homography_Error"] = homography_error(sl3_to_SL3(new_params["warp"]), d["gt_hom"])
+            metrics["Homography_Error"] = _aux_metric(
+                cfg, heavy,
+                lambda: homography_error(sl3_to_SL3(new_params["warp"]), d["gt_hom"]),
+            )
         if compute_mask_error:
-            metrics["Mask_Error"] = (
-                jax.lax.psum(jnp.sum((m_local - d["masks_cf"]) ** 2), DATA_AXIS) / N
+            metrics["Mask_Error"] = _aux_metric(
+                cfg, heavy,
+                lambda: jax.lax.psum(jnp.sum((m_local - d["masks_cf"]) ** 2), DATA_AXIS) / N,
             )
         if cfg.fix_first:
             new_params = dict(new_params, warp=new_params["warp"].at[0].set(0.0))
         return TrainState(step=step + 1, params=new_params, opt_state=opt_state), metrics
 
     def chunk_local(state: TrainState, d: dict):
-        def body(carry, _):
-            return step_local(carry, d)
+        def body(carry, i):
+            return step_local(carry, d, heavy=(i == n_steps - 1))
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
 
     sharded_chunk = shard_map(
         chunk_local,

@@ -138,3 +138,52 @@ def test_fused_step_multi_stream(rng, monkeypatch, fused_warp, sub):
             np.asarray(s_off.params["neural_image"]["mlp"][li]["w"]),
             rtol=1e-3, atol=1e-6, err_msg=f"layer {li} weights",
         )
+
+
+def test_lazy_metrics_matches_eager(rng):
+    """tpu.lazy_metrics: the parameter trajectory is untouched (the edge term
+    is gradient-blocked; Homography_Error is pure-metric), chunk-final
+    metrics are identical, and intermediate stacked rows carry
+    edge_loss = 0 / Homography_Error = 0."""
+    from marf_tpu.models.planar import use_lazy_aux_metrics, use_lazy_edge_metrics
+
+    base = dict(
+        H=32, W=64, patch_H=16, patch_W=32, batch_size=3, max_iter=100,
+        use_edges=True, alpha_initial=0.3,
+        arch=NeuralImageConfig(layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4)),
+    )
+    eager = PlanarConfig(**base, fused_step="on", fused_warp="on", lazy_metrics="off")
+    lazy = PlanarConfig(**base, fused_step="on", fused_warp="on", lazy_metrics="on")
+    assert not use_lazy_edge_metrics(eager) and use_lazy_edge_metrics(lazy)
+    assert not use_lazy_aux_metrics(eager) and use_lazy_aux_metrics(lazy)
+    data = fake_data(eager, rng)
+
+    s_e, m_e = run_steps(eager, data, n=4)
+    s_l, m_l = run_steps(lazy, data, n=4)
+
+    # updates never see the edge term -> identical parameters
+    np.testing.assert_allclose(
+        np.asarray(s_l.params["warp"]), np.asarray(s_e.params["warp"]), rtol=1e-6, atol=1e-8
+    )
+    for li in range(len(eager.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s_l.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s_e.params["neural_image"]["mlp"][li]["w"]),
+            rtol=1e-6, atol=1e-8, err_msg=f"layer {li}",
+        )
+    # chunk-final row (the only consumed one) identical, incl. the edge term
+    for key in ("all", "loss_rgb", "loss_edge", "loss_render", "PSNR", "Homography_Error"):
+        np.testing.assert_allclose(
+            np.asarray(m_l[key])[-1], np.asarray(m_e[key])[-1],
+            rtol=1e-5, atol=1e-7, err_msg=key,
+        )
+    # intermediate rows: edge term + aux metrics skipped (reported as 0),
+    # rgb terms exact
+    assert np.all(np.asarray(m_l["loss_edge"])[:-1] == 0.0)
+    assert np.all(np.asarray(m_e["loss_edge"])[:-1] > 0.0)
+    assert np.all(np.asarray(m_l["Homography_Error"])[:-1] == 0.0)
+    assert np.all(np.asarray(m_e["Homography_Error"])[:-1] > 0.0)
+    np.testing.assert_allclose(
+        np.asarray(m_l["loss_rgb"]), np.asarray(m_e["loss_rgb"]), rtol=1e-5, atol=1e-7
+    )
+    assert np.asarray(m_l["finite"]).all()

@@ -75,14 +75,19 @@ def test_sharded_step_matches_single_device(rng, use_implicit_mask):
     np.testing.assert_allclose(w8, w1, rtol=2e-4, atol=2e-6)
 
 
-def test_fused_shardmap_matches_single_device_fused(rng):
+@pytest.mark.parametrize("lazy", ["off", "on"])
+def test_fused_shardmap_matches_single_device_fused(rng, lazy):
     """The fused Pallas kernel under shard_map (parallel/shard_fused.py):
-    per-shard kernel + psum'd grads must equal the single-device fused step."""
+    per-shard kernel + psum'd grads must equal the single-device fused step.
+    lazy='on' additionally proves the chunk-final-only edge term (an
+    all_gather inside lax.cond — uniform across devices) and the lazy aux
+    metrics compile and match under shard_map."""
     from marf_tpu.parallel.shard_fused import fused_shardable, make_fused_sharded_setup
 
     cfg = mesh_cfg(
         fused_step="on",
         fused_warp="on",
+        lazy_metrics=lazy,
         arch=NeuralImageConfig(layers=(None, 32, 32, 3), posenc_L=4, barf_c2f=(0, 0.4)),
     )
     assert fused_shardable(cfg, 8)  # 3*24*32 = 2304 divisible by 8
@@ -163,14 +168,17 @@ def test_fused_shardmap_v4_leg_matches_single_device(rng, batch_size, fused_warp
 
 
 @pytest.mark.parametrize(
-    "single,use_edges,batch_size",
-    [(False, True, 3), (False, False, 3), (True, True, 8)],
+    "single,use_edges,batch_size,lazy",
+    [(False, True, 3, "off"), (False, False, 3, "off"), (True, True, 8, "off"),
+     (False, True, 3, "on")],
 )
-def test_fused_implicit_shardmap_matches_single_device(rng, single, use_edges, batch_size):
+def test_fused_implicit_shardmap_matches_single_device(rng, single, use_edges, batch_size, lazy):
     """The implicit-mask two-kernel pipeline under shard_map (round 3): per-
     shard kernels + ICI psums must equal the single-device fused implicit
     step — shared head (columns split mid-image) and per-image heads (whole
-    heads per device)."""
+    heads per device). lazy='on' proves the chunk-final-only aux metrics
+    (the Mask_Error psum inside lax.cond — uniform across devices) compile
+    and match under shard_map."""
     from marf_tpu.parallel.shard_fused import fused_shardable, make_fused_sharded_setup
 
     cfg = mesh_cfg(
@@ -183,6 +191,7 @@ def test_fused_implicit_shardmap_matches_single_device(rng, single, use_edges, b
         build_single_masks=single,
         fused_step="on",
         fused_dedup="off",  # pin the NON-dedup mesh pipeline (dedup test below)
+        lazy_metrics=lazy,
         arch=NeuralImageConfig(layers=(None, 32, 32, 3), posenc_L=4, barf_c2f=(0, 0.4)),
     )
     assert fused_shardable(cfg, 8)
