@@ -23,6 +23,10 @@ run() {
 #    its golden check on real TPU is the hardware validation the 'auto'
 #    default gate (trainer._dedup_hw_validated) is waiting for
 run canonical600      MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0
+# headline recapture (3000 iters, golden check ON, same compiled program as
+# canonical600 → compile-cache hit): lands the >=428 steps/s evidence even if
+# the tunnel dies again before the driver's end-of-round bench
+run canonical3000     MARF_BENCH_CASE=canonical
 run implicit600       MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_FUSED_DEDUP=on
 run implicit_s600     MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600
 run noposenc600       MARF_BENCH_CASE=noposenc MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0
