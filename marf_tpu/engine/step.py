@@ -471,6 +471,10 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             "rgb_prediction_map": rgb_map,
             "mask_prediction": m_flat.reshape(1, B, HW).transpose(1, 2, 0),
             "mask_prediction_map": m_flat.reshape(1, B, h, w).transpose(1, 0, 2, 3),
+            # free [1, N] alias for the Mask_Error metric: m_flat is live for
+            # the loss anyway, so using it avoids materializing the
+            # mask_prediction_map relayout every step as a lax.cond operand
+            "mask_prediction_cf": m_flat,
         }
 
         # ---- remaining loss terms (the edge maps are gradient-blocked,
@@ -630,6 +634,7 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             "rgb_prediction_map": rgb_map,
             "mask_prediction": m_flat.reshape(1, B, HW).transpose(1, 2, 0),
             "mask_prediction_map": m_flat.reshape(1, B, h, w).transpose(1, 0, 2, 3),
+            "mask_prediction_cf": m_flat,  # see _fused_implicit_grads
         }
 
         # ---- remaining loss terms (sq comes straight from the rgb kernel;
@@ -713,9 +718,19 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
                 lambda: homography_error(sl3_to_SL3(params["warp"]), data["gt_hom"])
             )
         if compute_mask_error:
-            metrics["Mask_Error"] = _lazy(
-                lambda: mse(outputs["mask_prediction_map"], data["masks"])
-            )
+
+            def _mask_err():
+                mcf = outputs.get("mask_prediction_cf")
+                if mcf is None:
+                    return mse(outputs["mask_prediction_map"], data["masks"])
+                # same element multiset channels-first: identical mean (up to
+                # reduction order); m_flat is live for the loss already and
+                # the masks relayout is loop-invariant (hoisted out of the
+                # scan), so no per-step [B,1,h,w] copy rides as cond operand
+                masks_cf = data["masks"].transpose(1, 0, 2, 3).reshape(mcf.shape)
+                return mse(mcf, masks_cf)
+
+            metrics["Mask_Error"] = _lazy(_mask_err)
 
         if cfg.fix_first:
             # Pin the gauge: re-zero the first image's warp after each update

@@ -303,6 +303,32 @@ def test_fused_implicit_mask_error_metric(rng):
     )
 
 
+def test_fused_implicit_lazy_metrics_matches_eager(rng):
+    """tpu.lazy_metrics on the implicit pipeline: chunk-final Mask_Error /
+    Homography_Error identical to eager — Mask_Error is computed
+    channels-first from the kernel's live m_flat (engine/step.py _mask_err)
+    so this also proves that alias equals the [B,1,h,w]-layout mse —
+    intermediate rows report 0, and the parameter trajectory is untouched."""
+    _, eager = cfg_pair(use_masks=True, lazy_metrics="off")
+    _, lazy = cfg_pair(use_masks=True, lazy_metrics="on")
+    data = implicit_data(eager, rng)
+    s_e, m_e = run_steps(eager, data, n=4)
+    s_l, m_l = run_steps(lazy, data, n=4)
+    for li in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(s_l.params["implicit_mask"]["mlp"][li]["w"]),
+            np.asarray(s_e.params["implicit_mask"]["mlp"][li]["w"]),
+            err_msg=f"mask head layer {li}",
+        )
+    for key in ("all", "loss_rgb", "loss_mask", "PSNR", "Mask_Error", "Homography_Error"):
+        np.testing.assert_allclose(
+            np.asarray(m_l[key])[-1], np.asarray(m_e[key])[-1],
+            rtol=1e-5, atol=1e-7, err_msg=key,
+        )
+    assert np.all(np.asarray(m_l["Mask_Error"])[:-1] == 0.0)
+    assert np.all(np.asarray(m_e["Mask_Error"])[:-1] > 0.0)
+
+
 def test_fused_implicit_precomputed_X(rng):
     """The engine-precomputed mask_X/mask_table path equals the inline one."""
     _, on = cfg_pair()
@@ -321,14 +347,15 @@ def test_fused_implicit_precomputed_X(rng):
     )
 
 
-def test_fused_implicit_multi_stream(rng, monkeypatch):
-    """NSTREAMS=2 in the implicit kernel A/B pair equals the autodiff path
+@pytest.mark.parametrize("nstreams", [2, 3])
+def test_fused_implicit_multi_stream(rng, monkeypatch, nstreams):
+    """NSTREAMS>=2 in the implicit kernel A/B pair equals the autodiff path
     (streams only regroup the tile iteration; fused_step.NSTREAMS knob)."""
     from marf_tpu.ops.pallas import fused_mask as fm
     from marf_tpu.ops.pallas import fused_step as fs
 
-    monkeypatch.setattr(fs, "NSTREAMS", 2)
-    monkeypatch.setattr(fm, "NSTREAMS", 2)
+    monkeypatch.setattr(fs, "NSTREAMS", nstreams)
+    monkeypatch.setattr(fm, "NSTREAMS", nstreams)
     monkeypatch.setattr(fs, "SUB", 256)
     monkeypatch.setattr(fm, "SUB", 256)
     off, on = cfg_pair(use_edges=True, alpha_initial=0.3, build_single_masks=True)

@@ -114,15 +114,17 @@ def test_fused_step_psnr_metric(rng):
 
 
 @pytest.mark.parametrize(
-    "fused_warp,sub",
-    [("off", 256), ("on", 256), ("on", 320)],  # 320: N=1536 pads to 1920 — padding + streams
+    "fused_warp,sub,nstreams",
+    # 320: N=1536 pads to 1920 — padding + streams; nstreams=3 widens the
+    # per-grid-step tile to 3 SUB lanes (320*3=960 -> pad 1536 to 1920)
+    [("off", 256, 2), ("on", 256, 2), ("on", 320, 2), ("on", 256, 3), ("on", 320, 3)],
 )
-def test_fused_step_multi_stream(rng, monkeypatch, fused_warp, sub):
-    """NSTREAMS=2 (independent per-grid-step column chains, MARF_FUSED_STREAMS)
+def test_fused_step_multi_stream(rng, monkeypatch, fused_warp, sub, nstreams):
+    """NSTREAMS>=2 (independent per-grid-step column chains, MARF_FUSED_STREAMS)
     equals the autodiff path — the streams only regroup the tile iteration."""
     from marf_tpu.ops.pallas import fused_step as fs
 
-    monkeypatch.setattr(fs, "NSTREAMS", 2)
+    monkeypatch.setattr(fs, "NSTREAMS", nstreams)
     monkeypatch.setattr(fs, "SUB", sub)
     off, on = cfg_pair(fused_warp=fused_warp)
     data = fake_data(off, rng)

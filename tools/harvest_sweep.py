@@ -92,6 +92,7 @@ def main(argv):
         ("implicit_single streams=2", "implicit_single_s2", "implicit_s600"),
         ("canonical bf16", "canon_bf16", "canonical600"),
         ("lazy-edge win (canonical)", "canonical600", "canon_lazyoff"),
+        ("lazy-metrics win (implicit)", "implicit600", "implicit_lazyoff"),
     ]
     for label, a, b in pairs:
         va, vb = sps(a), sps(b)

@@ -36,8 +36,10 @@ run canon_s2          MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_
 run canon_s3          MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=3
 run implicit_s2       MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_FUSED_STREAMS=2
 run implicit_single_s2 MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=2
-# 2b. lazy-metrics attribution (chunk-final-only edge term / hom error; auto = on-TPU default)
+# 2b. lazy-metrics attribution (chunk-final-only edge term / hom error /
+#     Mask_Error; auto = on-TPU default)
 run canon_lazyoff     MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_LAZY_METRICS=off
+run implicit_lazyoff  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_BENCH_LAZY_METRICS=off
 # 3. bf16 re-measure on the shipping v4/v5 kernel (VERDICT r2 item 7)
 run canon_bf16        MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_DTYPE=bfloat16
 # 4. implicit dedup off (isolate the dedup win)
