@@ -44,6 +44,16 @@ run implicit_lazyoff  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_C
 run canon_bf16        MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_DTYPE=bfloat16
 # 4. implicit dedup off (isolate the dedup win)
 run implicit_nodedup  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=off
+# 4b. profiler traces for the post-sweep glue attack (per-op tables into the
+#     log; tiny traced windows per CLAUDE.md tunnel rules)
+( timeout 1200 env MARF_BENCH_CASE=implicit MARF_BENCH_FUSED_DEDUP=on \
+    python tools/profile_step.py /tmp/marf_prof_implicit >> "$LOG" 2>&1 \
+    && echo '{"tag": "profile_implicit", "ok": true}' >> "$OUT" ) \
+  || echo '{"tag": "profile_implicit", "ok": false}' >> "$OUT"
+( timeout 1200 env MARF_BENCH_CASE=canonical \
+    python tools/profile_step.py /tmp/marf_prof_canonical >> "$LOG" 2>&1 \
+    && echo '{"tag": "profile_canonical", "ok": true}' >> "$OUT" ) \
+  || echo '{"tag": "profile_canonical", "ok": false}' >> "$OUT"
 # 5. XLA miscompile tripwire (shipped edge-conv layout must stay NaN-free)
 ( timeout 2400 python tools/xla_miscompile_tripwire.py >> "$LOG" 2>&1 \
     && echo '{"tag": "miscompile_tripwire", "ok": true}' >> "$OUT" ) \
