@@ -32,6 +32,10 @@ Env knobs (defaults = the faithful canonical config):
     MARF_BENCH_CHECK       1 (default) = assert final PSNR against
                            tools/bench_goldens.json when a golden exists
                            (exit 1 outside the band); 0 = report only
+    MARF_BENCH_PROBE       1 (default) = bounded backend probe before building
+                           the model so a dead tunnel yields a parseable JSON
+                           error line; 0 = skip (back-to-back sweep runs)
+    MARF_BENCH_PROBE_TIMEOUT  probe bound in seconds (default 90)
 """
 
 import json
@@ -124,24 +128,40 @@ def probe_backend():
     A dead/hung TPU tunnel makes jax.devices() block indefinitely inside
     Model.__init__, which previously left the driver with an unparseable
     40-line traceback (BENCH_r03.json "parsed": null). Probe in a SUBPROCESS
-    under a timeout (a SIGTERM'd probe that never reached the chip cannot
-    wedge it) and, on failure, print one parseable JSON error line.
+    under a timeout and, on failure, print one parseable JSON error line.
+    MARF_BENCH_PROBE=0 skips it (for back-to-back runs in a known-good
+    tunnel window, e.g. tools/tpu_sweep.sh after the watcher's own probe).
     """
-    platforms = os.environ.get("JAX_PLATFORMS", "").lower()
-    if "cpu" in platforms:
-        return  # no tunnel involved; don't pay a second jax import
+    if os.environ.get("MARF_BENCH_PROBE", "1") == "0":
+        return
+    platforms = os.environ.get(
+        "JAX_PLATFORMS", os.environ.get("JAX_PLATFORM_NAME", "")
+    ).lower()
+    if platforms.split(",")[0].strip() == "cpu":
+        return  # CPU-first config: no tunnel involved; skip the second jax import
     timeout_s = float(os.environ.get("MARF_BENCH_PROBE_TIMEOUT", 90))
     code = "import jax; print(jax.devices()[0])"
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        if r.returncode == 0:
+        out, err = proc.communicate(timeout=timeout_s)
+        if proc.returncode == 0:
             return
-        detail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        detail = (err or out).strip().splitlines()[-1:]
         reason = "backend_unavailable"
     except subprocess.TimeoutExpired:
+        # CLAUDE.md tunnel rule: never hard-kill a TPU process. SIGTERM first
+        # with a generous grace period; SIGKILL only as a last resort (a probe
+        # ignoring SIGTERM for 30s is already wedged, and leaking it would
+        # hold the one-process-at-a-time chip indefinitely).
+        proc.terminate()
+        try:
+            proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
         detail = [f"jax.devices() hung > {timeout_s:.0f}s"]
         reason = "backend_unavailable"
     print(json.dumps({

@@ -31,9 +31,9 @@ from marf_tpu.models.planar import (
     PlanarConfig,
     graph_forward,
     graph_loss,
+    lazy_aux_metric,
     use_fused_implicit,
     use_fused_step,
-    use_lazy_aux_metrics,
     use_lazy_edge_metrics,
 )
 from marf_tpu.ops.lie import sl3_to_SL3
@@ -707,11 +707,9 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         metrics["finite"] = check_finite(loss)
 
         def _lazy(fn):
-            # pure-metric scalars (models/planar.use_lazy_aux_metrics): only
-            # chunk-final rows are consumed, intermediate rows report 0
-            if use_lazy_aux_metrics(cfg):
-                return jax.lax.cond(heavy, fn, lambda: jnp.asarray(0.0, dtype=jnp.float32))
-            return fn()
+            # pure-metric scalars: only chunk-final rows are consumed,
+            # intermediate rows report 0 (models/planar.lazy_aux_metric)
+            return lazy_aux_metric(cfg, heavy, fn)
 
         if use_homographies and data.get("gt_hom") is not None:
             metrics["Homography_Error"] = _lazy(

@@ -15,7 +15,6 @@ program. Plus a real checkpoint/resume capability the reference only stubs.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import subprocess

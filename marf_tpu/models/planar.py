@@ -270,6 +270,19 @@ def use_lazy_aux_metrics(cfg: PlanarConfig) -> bool:
     return _lazy_metrics_enabled(cfg)
 
 
+def lazy_aux_metric(cfg: PlanarConfig, heavy, fn):
+    """Gate a pure-metric scalar on `heavy` (chunk-final step) when
+    use_lazy_aux_metrics applies; intermediate rows report 0. Shared by the
+    single-chip step (engine/step.py) and the shard_map mesh paths
+    (parallel/shard_fused.py) so the gating semantics cannot diverge. `heavy`
+    derives from the scan index, so it is uniform across devices — any
+    collective inside `fn` (e.g. the Mask_Error psum) runs on all devices or
+    none."""
+    if use_lazy_aux_metrics(cfg):
+        return jax.lax.cond(heavy, fn, lambda: jnp.asarray(0.0, dtype=jnp.float32))
+    return fn()
+
+
 def use_fused_dedup(cfg: PlanarConfig) -> bool:
     """Whether the shared-head implicit pipeline deduplicates the mask-head
     input columns (slot0+extras, ops/pallas/fused_mask.py slot_dedup_inputs):

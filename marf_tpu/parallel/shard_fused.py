@@ -39,7 +39,11 @@ from marf_tpu.engine.step import (
     init_train_state,
     mask_cot_scalars,
 )
-from marf_tpu.models.planar import PlanarConfig, use_lazy_aux_metrics, use_lazy_edge_metrics
+from marf_tpu.models.planar import (
+    PlanarConfig,
+    lazy_aux_metric,
+    use_lazy_edge_metrics,
+)
 from marf_tpu.ops.filters import compute_edges
 from marf_tpu.ops.grid import normalized_pixel_grid
 from marf_tpu.ops.lie import sl3_to_SL3
@@ -57,14 +61,9 @@ from marf_tpu.ops.posenc import barf_c2f_weights
 from marf_tpu.parallel.mesh import DATA_AXIS, replicate
 
 
-def _aux_metric(cfg: PlanarConfig, heavy, fn):
-    """Pure-metric scalar (models/planar.use_lazy_aux_metrics): computed only
-    at chunk-final steps, intermediate rows report 0. `heavy` derives from
-    the scan index, so it is uniform across devices — any collective inside
-    `fn` (e.g. the Mask_Error psum) runs on all devices or none."""
-    if use_lazy_aux_metrics(cfg):
-        return jax.lax.cond(heavy, fn, lambda: jnp.asarray(0.0, dtype=jnp.float32))
-    return fn()
+# Pure-metric lazy gating is shared with the single-chip step:
+# models/planar.lazy_aux_metric (uniform-across-devices `heavy`).
+_aux_metric = lazy_aux_metric
 
 
 def fused_shardable(cfg: PlanarConfig, n_devices: int) -> bool:

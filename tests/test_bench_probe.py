@@ -1,0 +1,85 @@
+"""bench.probe_backend decision logic: when it probes vs skips.
+
+The probe exists so a dead TPU tunnel yields one parseable JSON error line
+instead of an unparseable hang/traceback (VERDICT r3 item 3). These tests pin
+the *decision* layer — the subprocess itself is stubbed, so they run in
+milliseconds and never touch a backend.
+"""
+
+import subprocess
+
+import pytest
+
+import bench
+
+
+class _ProbeAttempted(Exception):
+    pass
+
+
+@pytest.fixture
+def deny_subprocess(monkeypatch):
+    """Any attempt to spawn the probe subprocess raises _ProbeAttempted."""
+
+    def _boom(*a, **k):
+        raise _ProbeAttempted
+
+    monkeypatch.setattr(subprocess, "Popen", _boom)
+
+
+def test_probe_disabled_by_knob(monkeypatch, deny_subprocess):
+    monkeypatch.setenv("MARF_BENCH_PROBE", "0")
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    bench.probe_backend()  # returns without spawning
+
+
+@pytest.mark.parametrize("platforms", ["cpu", "cpu,tpu", "CPU"])
+def test_probe_skipped_on_cpu_first(monkeypatch, deny_subprocess, platforms):
+    monkeypatch.delenv("MARF_BENCH_PROBE", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", platforms)
+    bench.probe_backend()
+
+
+def test_probe_skipped_on_legacy_platform_name(monkeypatch, deny_subprocess):
+    monkeypatch.delenv("MARF_BENCH_PROBE", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORM_NAME", "cpu")
+    bench.probe_backend()
+
+
+@pytest.mark.parametrize("platforms", ["tpu", "tpu,cpu", ""])
+def test_probe_attempted_when_tunnel_involved(monkeypatch, deny_subprocess, platforms):
+    # 'tpu,cpu' fallback configs MUST still probe — the tpu attempt is the
+    # thing that hangs on a dead tunnel (the round-3 BENCH rc=1 artifact).
+    monkeypatch.delenv("MARF_BENCH_PROBE", raising=False)
+    monkeypatch.delenv("JAX_PLATFORM_NAME", raising=False)
+    if platforms:
+        monkeypatch.setenv("JAX_PLATFORMS", platforms)
+    else:
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    with pytest.raises(_ProbeAttempted):
+        bench.probe_backend()
+
+
+def test_probe_failure_emits_parseable_json(monkeypatch, capsys):
+    """A probe that exits non-zero produces one JSON line + SystemExit(2)."""
+    import json
+
+    monkeypatch.delenv("MARF_BENCH_PROBE", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+
+    class _FakeProc:
+        returncode = 1
+
+        def communicate(self, timeout=None):
+            return "", "RuntimeError: UNAVAILABLE: tunnel down"
+
+    monkeypatch.setattr(subprocess, "Popen", lambda *a, **k: _FakeProc())
+    with pytest.raises(SystemExit) as e:
+        bench.probe_backend()
+    assert e.value.code == 2
+    line = capsys.readouterr().out.strip().splitlines()[0]
+    rec = json.loads(line)
+    assert rec["value"] is None
+    assert rec["error"] == "backend_unavailable"
+    assert "UNAVAILABLE" in rec["extra"]["detail"]

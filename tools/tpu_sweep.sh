@@ -12,17 +12,31 @@ LOG="${MARF_SWEEP_LOG:-/tmp/tpu_sweep.log}"
 : > "$OUT"
 
 run() {
+  # Capture bench's last stdout line; a JSON object line is the result row
+  # (bench prints it even on a golden-check exit 1), anything else — a
+  # timeout-killed/crashed run — gets an explicit error row. (The previous
+  # '|| echo error' after the pipe was dead code: the pipeline's status was
+  # tail/sed's, so a killed bench silently wrote no row at all.)
   local tag=$1; shift
   echo "=== $tag $(date -u +%H:%M:%S) ===" >> "$LOG"
-  ( timeout 2400 env "$@" python bench.py 2>>"$LOG" \
-      | tail -1 | sed "s/^/{\"tag\": \"$tag\", \"r\": /; s/$/}/" >> "$OUT" ) \
-    || echo "{\"tag\": \"$tag\", \"error\": true}" >> "$OUT"
+  local line
+  line=$(timeout 2400 env "$@" python bench.py 2>>"$LOG" | tail -1)
+  case "$line" in
+    "{"*) echo "{\"tag\": \"$tag\", \"r\": $line}" >> "$OUT" ;;
+    *)    echo "{\"tag\": \"$tag\", \"error\": true}" >> "$OUT" ;;
+  esac
 }
 
 # 1. current defaults (flat adam + sq output); implicit600 forces dedup=on —
 #    its golden check on real TPU is the hardware validation the 'auto'
-#    default gate (trainer._dedup_hw_validated) is waiting for
+#    default gate (models/planar.dedup_hw_validated) is waiting for.
+#    The first run keeps the backend probe (outage insurance if the sweep is
+#    launched by hand without one); later runs skip it — the tunnel was
+#    green seconds ago, and the probe costs a full TPU client init each.
 run canonical600      MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0
+# only drop the probe if the first run actually reached the chip — otherwise
+# later runs would hang for their full 2400s timeout instead of failing in 90s
+if ! tail -1 "$OUT" | grep -q '"error"'; then export MARF_BENCH_PROBE=0; fi
 # headline recapture (3000 iters, golden check ON, same compiled program as
 # canonical600 → compile-cache hit): lands the >=428 steps/s evidence even if
 # the tunnel dies again before the driver's end-of-round bench
