@@ -4,20 +4,37 @@
 # dedup on/off, flat Adam (now default everywhere), MARF_FUSED_STREAMS,
 # bf16 on the current v4/v5 kernel — across all five eval cases.
 # One JSON line per run in $MARF_SWEEP_OUT (default /tmp/tpu_sweep.jsonl).
+#
+# MARF_SWEEP_RESUME=1 appends to an existing $MARF_SWEEP_OUT and skips tags
+# that already have a measured row — so a mid-sweep tunnel death costs only
+# the unfinished rows on the next attempt (tools/tpu_watch.sh retries with
+# this set). Error rows are retried; harvest_sweep keeps the LAST row per
+# tag, so a later good row supersedes an earlier error row. NOTE: resume
+# assumes the code under measurement hasn't changed between attempts.
+# Exit status: 0 iff every expected tag has a measured/ok row.
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
 OUT="${MARF_SWEEP_OUT:-/tmp/tpu_sweep.jsonl}"
 LOG="${MARF_SWEEP_LOG:-/tmp/tpu_sweep.log}"
-: > "$OUT"
+if [ -z "${MARF_SWEEP_RESUME:-}" ] || [ ! -e "$OUT" ]; then : > "$OUT"; fi
+
+BENCH_TAGS=""
+
+have() { grep -q "$1" "$OUT"; }
 
 run() {
   # Capture bench's last stdout line; a JSON object line is the result row
   # (bench prints it even on a golden-check exit 1), anything else — a
-  # timeout-killed/crashed run — gets an explicit error row. (The previous
-  # '|| echo error' after the pipe was dead code: the pipeline's status was
-  # tail/sed's, so a killed bench silently wrote no row at all.)
+  # timeout-killed/crashed run — gets an explicit error row. (A plain
+  # '|| echo error' after the pipe would be dead code: the pipeline's status
+  # is sed/tail's, so a killed bench would silently write no row at all.)
   local tag=$1; shift
+  BENCH_TAGS="$BENCH_TAGS $tag"
+  if [ -n "${MARF_SWEEP_RESUME:-}" ] && have "\"tag\": \"$tag\", \"r\":"; then
+    echo "=== $tag already measured, skipped (resume) ===" >> "$LOG"
+    return
+  fi
   echo "=== $tag $(date -u +%H:%M:%S) ===" >> "$LOG"
   local line
   line=$(timeout 2400 env "$@" python bench.py 2>>"$LOG" | tail -1)
@@ -27,6 +44,21 @@ run() {
   esac
 }
 
+aux() {
+  # Non-bench stage (profiler trace / tripwire): tag + command...
+  local tag=$1; shift
+  if [ -n "${MARF_SWEEP_RESUME:-}" ] && have "\"tag\": \"$tag\", \"ok\": true"; then
+    echo "=== $tag already ok, skipped (resume) ===" >> "$LOG"
+    return
+  fi
+  echo "=== $tag $(date -u +%H:%M:%S) ===" >> "$LOG"
+  if "$@" >> "$LOG" 2>&1; then
+    echo "{\"tag\": \"$tag\", \"ok\": true}" >> "$OUT"
+  else
+    echo "{\"tag\": \"$tag\", \"ok\": false}" >> "$OUT"
+  fi
+}
+
 # 1. current defaults (flat adam + sq output); implicit600 forces dedup=on —
 #    its golden check on real TPU is the hardware validation the 'auto'
 #    default gate (models/planar.dedup_hw_validated) is waiting for.
@@ -34,8 +66,8 @@ run() {
 #    launched by hand without one); later runs skip it — the tunnel was
 #    green seconds ago, and the probe costs a full TPU client init each.
 run canonical600      MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0
-# only drop the probe if the first run actually reached the chip — otherwise
-# later runs would hang for their full 2400s timeout instead of failing in 90s
+# only drop the probe if the latest row isn't an error — otherwise later
+# runs would hang for their full 2400s timeout instead of failing in 90s
 if ! tail -1 "$OUT" | grep -q '"error"'; then export MARF_BENCH_PROBE=0; fi
 # headline recapture (3000 iters, golden check ON, same compiled program as
 # canonical600 → compile-cache hit): lands the >=428 steps/s evidence even if
@@ -60,16 +92,21 @@ run canon_bf16        MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_
 run implicit_nodedup  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=off
 # 4b. profiler traces for the post-sweep glue attack (per-op tables into the
 #     log; tiny traced windows per CLAUDE.md tunnel rules)
-( timeout 1200 env MARF_BENCH_CASE=implicit MARF_BENCH_FUSED_DEDUP=on \
-    python tools/profile_step.py /tmp/marf_prof_implicit >> "$LOG" 2>&1 \
-    && echo '{"tag": "profile_implicit", "ok": true}' >> "$OUT" ) \
-  || echo '{"tag": "profile_implicit", "ok": false}' >> "$OUT"
-( timeout 1200 env MARF_BENCH_CASE=canonical \
-    python tools/profile_step.py /tmp/marf_prof_canonical >> "$LOG" 2>&1 \
-    && echo '{"tag": "profile_canonical", "ok": true}' >> "$OUT" ) \
-  || echo '{"tag": "profile_canonical", "ok": false}' >> "$OUT"
+aux profile_implicit  timeout 1200 env MARF_BENCH_CASE=implicit MARF_BENCH_FUSED_DEDUP=on \
+                        python tools/profile_step.py /tmp/marf_prof_implicit
+aux profile_canonical timeout 1200 env MARF_BENCH_CASE=canonical \
+                        python tools/profile_step.py /tmp/marf_prof_canonical
 # 5. XLA miscompile tripwire (shipped edge-conv layout must stay NaN-free)
-( timeout 2400 python tools/xla_miscompile_tripwire.py >> "$LOG" 2>&1 \
-    && echo '{"tag": "miscompile_tripwire", "ok": true}' >> "$OUT" ) \
-  || echo '{"tag": "miscompile_tripwire", "ok": false}' >> "$OUT"
-echo "SWEEP DONE $(date -u)" >> "$LOG"
+aux miscompile_tripwire timeout 2400 python tools/xla_miscompile_tripwire.py
+
+# Completeness gate: exit 0 only if every tag has a measured/ok row (the
+# watcher retries an incomplete sweep on the next green probe).
+missing=0
+for t in $BENCH_TAGS; do
+  have "\"tag\": \"$t\", \"r\":" || { echo "MISSING $t" >> "$LOG"; missing=1; }
+done
+for t in profile_implicit profile_canonical miscompile_tripwire; do
+  have "\"tag\": \"$t\", \"ok\": true" || { echo "MISSING $t" >> "$LOG"; missing=1; }
+done
+echo "SWEEP DONE missing=$missing $(date -u)" >> "$LOG"
+exit $missing

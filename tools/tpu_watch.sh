@@ -1,15 +1,20 @@
 #!/bin/bash
-# TPU tunnel watcher (round-4 outage insurance). Probes every 5 min; when
-# the tunnel returns it runs the staged measurement sweep (tools/tpu_sweep.sh)
-# exactly once and auto-harvests the results:
+# TPU tunnel watcher (round-4 outage insurance). Probes every 5 min; on each
+# green probe it runs the staged measurement sweep (tools/tpu_sweep.sh) and
+# auto-harvests whatever landed:
 #
 #   python tools/harvest_sweep.py --apply
 #
 # --apply is safe unattended by construction: it writes
 # marf_tpu/hw_validation.json ONLY if the dedup-forced implicit600 run held
 # its golden, and records canonical@600/noposenc@600 goldens ONLY if absent
-# (existing goldens are never overwritten). The dry-run table lands in
+# (existing goldens are never overwritten). The harvest table lands in
 # /tmp/tpu_harvest.txt for review; PERF.md gets the table manually.
+#
+# The sweep is resumable (MARF_SWEEP_RESUME=1 skips already-measured tags),
+# so a tunnel that dies mid-sweep costs only the unfinished rows: the watcher
+# keeps probing and re-runs until the sweep reports complete (exit 0) or
+# MAX_ATTEMPTS sweeps have been tried.
 #
 # Respects /tmp/tpu_lock (manual TPU work in flight — create it before any
 # hand-run TPU job, per the one-TPU-process rule in CLAUDE.md).
@@ -18,17 +23,33 @@
 # Status: cat /tmp/tpu_status
 set -u
 cd "$(dirname "$0")/.."
+MAX_ATTEMPTS="${MARF_WATCH_MAX_ATTEMPTS:-6}"
+attempt=0
 while true; do
   if [ ! -e /tmp/tpu_lock ] && timeout 60 python -c "import jax; jax.devices()" 2>/dev/null; then
-    echo "TUNNEL BACK $(date -u)" > /tmp/tpu_status
+    attempt=$((attempt + 1))
+    echo "TUNNEL BACK $(date -u) — sweep attempt $attempt/$MAX_ATTEMPTS" > /tmp/tpu_status
     touch /tmp/tpu_lock
-    bash tools/tpu_sweep.sh
+    if [ "$attempt" -gt 1 ]; then export MARF_SWEEP_RESUME=1; fi
+    if bash tools/tpu_sweep.sh; then
+      python tools/harvest_sweep.py /tmp/tpu_sweep.jsonl --apply \
+        > /tmp/tpu_harvest.txt 2>&1
+      rm -f /tmp/tpu_lock
+      echo "SWEEP+HARVEST DONE $(date -u)" >> /tmp/tpu_status
+      exit 0
+    fi
+    # incomplete sweep (tunnel flapped mid-run?) — harvest the partial rows
+    # anyway (safe/idempotent), then keep watching and resume
     python tools/harvest_sweep.py /tmp/tpu_sweep.jsonl --apply \
       > /tmp/tpu_harvest.txt 2>&1
     rm -f /tmp/tpu_lock
-    echo "SWEEP+HARVEST DONE $(date -u)" >> /tmp/tpu_status
-    exit 0
+    echo "sweep attempt $attempt incomplete $(date -u)" >> /tmp/tpu_status
+    if [ "$attempt" -ge "$MAX_ATTEMPTS" ]; then
+      echo "GIVING UP after $MAX_ATTEMPTS attempts $(date -u)" >> /tmp/tpu_status
+      exit 1
+    fi
+  else
+    echo "down $(date -u)" > /tmp/tpu_status
   fi
-  echo "down $(date -u)" > /tmp/tpu_status
   sleep 300
 done
