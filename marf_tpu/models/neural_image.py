@@ -66,6 +66,16 @@ class NeuralImageConfig:
         return resolved
 
 
+def _mxu_operands(a: jax.Array, b: jax.Array):
+    """bf16 x bf16 -> f32 is the native TPU MXU mode, but XLA:CPU's DotThunk
+    doesn't implement it — upcast the operands off-TPU. Numerically identical
+    (every bf16 product is exact in f32; accumulation is f32 either way); see
+    ops/pallas/fused_step.mxu_dot for the kernel-side twin."""
+    if a.dtype == jnp.bfloat16 and jax.default_backend() != "tpu":
+        return a.astype(jnp.float32), b.astype(jnp.float32)
+    return a, b
+
+
 def init_neural_image(key: jax.Array, cfg: NeuralImageConfig, dtype=jnp.float32) -> dict:
     """Init the MLP params; first-layer sqrt(input_dim/2) rescale under c2f
     (reference model/planar.py:421-426 — the init distribution was tuned for
@@ -129,8 +139,9 @@ def apply_neural_image_cf(
             feat = jnp.concatenate([feat, points_enc], axis=-2)
         w = layer["w"].astype(dtype)  # [k_in, k_out]
         b = layer["b"][:, None]  # [k_out, 1]
+        w, f = _mxu_operands(w, feat)
         feat = (
-            jnp.einsum("ko,...kn->...on", w, feat, preferred_element_type=jnp.float32) + b
+            jnp.einsum("ko,...kn->...on", w, f, preferred_element_type=jnp.float32) + b
         )
         if li != n_layers - 1:
             feat = jax.nn.relu(feat).astype(dtype)
@@ -158,7 +169,8 @@ def apply_neural_image(
         # cast only the weights; add the f32 bias to the f32 MXU accumulator
         # (matches apply_neural_image_cf and both Pallas kernels exactly)
         w = layer["w"].astype(dtype)
-        feat = jnp.dot(feat, w, preferred_element_type=jnp.float32) + layer["b"]
+        f, w = _mxu_operands(feat, w)
+        feat = jnp.dot(f, w, preferred_element_type=jnp.float32) + layer["b"]
         if li != n_layers - 1:
             feat = jax.nn.relu(feat).astype(dtype)
     return jax.nn.sigmoid(feat.astype(jnp.float32))

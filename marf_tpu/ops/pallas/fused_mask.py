@@ -56,6 +56,7 @@ from marf_tpu.ops.pallas.fused_step import (
     _posenc_vjp,
     _stack_bwd,
     _stack_fwd,
+    mxu_dot,
 )
 from marf_tpu.ops.posenc import hanerf_pos_embedding
 
@@ -302,10 +303,7 @@ def _mask_fwd_tile(x, wt_refs, b_refs, n_layers, cdtype, keep_acts=False):
     h = acts[0]
     for li in range(n_layers):
         z = (
-            jax.lax.dot_general(
-                wt_refs[li][:], h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            mxu_dot(wt_refs[li][:], h, (((1,), (0,)), ((), ())))
             + b_refs[li][:]
         )
         if li != n_layers - 1:
@@ -503,14 +501,10 @@ def _mask_bwd_g_kernel(n_mask, T, rp_last, n_streams, cdtype, scalars_ref, x_ref
 
         for li in range(n_mask - 1, -1, -1):
             a = acts[li]
-            acc_dw[li][:] += jax.lax.dot_general(
-                d, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
+            acc_dw[li][:] += mxu_dot(d, a, (((1,), (1,)), ((), ())))
             acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
             if li > 0:
-                da = jax.lax.dot_general(
-                    mw[li][:], d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                )
+                da = mxu_dot(mw[li][:], d, (((1,), (0,)), ((), ())))
                 d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
 
     @pl.when(i == T - 1)

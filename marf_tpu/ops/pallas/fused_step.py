@@ -71,6 +71,20 @@ def fused_step_supported(arch_cfg) -> bool:
     return not arch_cfg.skip
 
 
+def mxu_dot(a, b, dims):
+    """MXU-style mixed-precision dot: (possibly bf16) operands, f32 result.
+
+    On TPU this is the native MXU mode (bf16 x bf16 -> f32). XLA:CPU's
+    DotThunk doesn't implement that combination, so interpret mode upcasts
+    the operands first — numerically identical: every bf16 x bf16 product is
+    exact in f32 (8-bit mantissas), and accumulation is f32 in both forms.
+    """
+    if _interpret() and a.dtype == jnp.bfloat16:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
 def _enc_rows(L: int) -> int:
     """Rows of the in-kernel encoding: one aligned 8-row block for [x, y],
     then 4 blocks of L rows (sin/cos per input channel)."""
@@ -116,10 +130,7 @@ def _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype):
     acts = [enc.astype(cdtype)]
     for li in range(n_layers):
         z = (
-            jax.lax.dot_general(
-                wt_refs[li][:], acts[li], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            mxu_dot(wt_refs[li][:], acts[li], (((1,), (0,)), ((), ())))
             + b_refs[li][:]
         )
         if li != n_layers - 1:
@@ -135,13 +146,9 @@ def _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype):
     denc (the cotangent w.r.t. the encoding)."""
     for li in range(n_layers - 1, -1, -1):
         a = acts[li]
-        acc_dw[li][:] += jax.lax.dot_general(
-            d, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        acc_dw[li][:] += mxu_dot(d, a, (((1,), (1,)), ((), ())))
         acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
-        da = jax.lax.dot_general(
-            w_refs[li][:], d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        da = mxu_dot(w_refs[li][:], d, (((1,), (0,)), ((), ())))
         if li > 0:
             d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
         else:
@@ -262,9 +269,7 @@ def _kernel_warp(n_layers, L, n_streams, cdtype, scalars_ref, grid_ref, hrows_re
         PB = acc_dh.shape[1]
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (PB, 1), 0).astype(jnp.float32)
         bo = (bidx == iota_b).astype(jnp.float32)  # [PB, SUB]
-        hc = jax.lax.dot_general(
-            hrows_ref[:], bo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [16, SUB]; rows 0-8 = per-column H entries
+        hc = mxu_dot(hrows_ref[:], bo, (((1,), (0,)), ((), ())))  # [16, SUB]; rows 0-8 = per-column H entries
         rden = 1.0 / (hc[8:9, :] * 1.0 + hc[6:7, :] * u + hc[7:8, :] * v + np.float32(1e-8))
         x = (hc[0:1, :] * u + hc[1:2, :] * v + hc[2:3, :]) * rden
         y = (hc[3:4, :] * u + hc[4:5, :] * v + hc[5:6, :]) * rden
@@ -296,9 +301,7 @@ def _kernel_warp(n_layers, L, n_streams, cdtype, scalars_ref, grid_ref, hrows_re
             [dxh * u, dxh * v, dxh, dyh * u, dyh * v, dyh, dwden * u, dwden * v, dwden, zeros7],
             axis=0,
         )  # [16, SUB]
-        acc_dh[:] += jax.lax.dot_general(
-            drows, bo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [16, PB]
+        acc_dh[:] += mxu_dot(drows, bo, (((1,), (1,)), ((), ())))  # [16, PB]
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _writeout():

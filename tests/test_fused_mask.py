@@ -463,3 +463,26 @@ def test_slot_dedup_sharded_builder_invariants(rng):
         expect.add((int(b * HW + ext_pix[j]), int(HW + j)))
     assert pairs == expect
     assert len(pairs) == int(extmap.sum())
+
+
+def test_fused_implicit_bfloat16(rng):
+    """bfloat16 compute_dtype through the implicit two-kernel pipeline
+    (shared head, dedup auto-on off-TPU): finite training and loose f32
+    tracking — smoke/sanity, not equality (see test_fused_step_bfloat16)."""
+    arch16 = NeuralImageConfig(
+        layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4), compute_dtype="bfloat16"
+    )
+    _, on16 = cfg_pair(arch=arch16, use_edges=True, alpha_initial=0.3)
+    _, on32 = cfg_pair(use_edges=True, alpha_initial=0.3)
+    data = implicit_data(on32, rng)
+    s16, m16 = run_steps(on16, data, n=5)
+    _, m32 = run_steps(on32, data, n=5)
+    assert np.asarray(m16["finite"]).all()
+    np.testing.assert_allclose(
+        np.asarray(m16["all"])[0], np.asarray(m32["all"])[0], rtol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(m16["all"])[-1], np.asarray(m32["all"])[-1], rtol=5e-2
+    )
+    assert abs(float(np.asarray(m16["PSNR"])[-1]) - float(np.asarray(m32["PSNR"])[-1])) < 1.0
+    assert np.isfinite(np.asarray(s16.params["implicit_mask"]["mlp"][0]["w"])).all()

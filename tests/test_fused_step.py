@@ -142,6 +142,36 @@ def test_fused_step_multi_stream(rng, monkeypatch, fused_warp, sub, nstreams):
         )
 
 
+@pytest.mark.parametrize("fused_warp,nstreams", [("on", 1), ("on", 2), ("off", 1)])
+def test_fused_step_bfloat16(rng, monkeypatch, fused_warp, nstreams):
+    """bfloat16 compute_dtype (tpu.compute_dtype wiring): the kernel runs
+    finite with streams and tracks the f32 path loosely (8-bit mantissa —
+    this is a smoke/sanity bound, not equality; the TPU measurement rows are
+    canon_bf16 / canon_s2_bf16 in tools/tpu_sweep.sh)."""
+    from marf_tpu.ops.pallas import fused_step as fs
+
+    monkeypatch.setattr(fs, "NSTREAMS", nstreams)
+    arch16 = NeuralImageConfig(
+        layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4), compute_dtype="bfloat16"
+    )
+    _, on16 = cfg_pair(arch=arch16, fused_warp=fused_warp)
+    _, on32 = cfg_pair(fused_warp=fused_warp)
+    data = fake_data(on32, rng)
+    s16, m16 = run_steps(on16, data, n=5)
+    _, m32 = run_steps(on32, data, n=5)
+    assert np.asarray(m16["finite"]).all()
+    # identical initial params -> the first-row loss differs only by dtype
+    np.testing.assert_allclose(
+        np.asarray(m16["all"])[0], np.asarray(m32["all"])[0], rtol=2e-2
+    )
+    # the trajectory stays in the same basin
+    np.testing.assert_allclose(
+        np.asarray(m16["all"])[-1], np.asarray(m32["all"])[-1], rtol=5e-2
+    )
+    assert abs(float(np.asarray(m16["PSNR"])[-1]) - float(np.asarray(m32["PSNR"])[-1])) < 0.5
+    assert np.isfinite(np.asarray(s16.params["warp"])).all()
+
+
 def test_lazy_metrics_matches_eager(rng):
     """tpu.lazy_metrics: the parameter trajectory is untouched (the edge term
     is gradient-blocked; Homography_Error is pure-metric), chunk-final

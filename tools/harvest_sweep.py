@@ -91,6 +91,8 @@ def main(argv):
         ("implicit streams=2", "implicit_s2", "implicit600"),
         ("implicit_single streams=2", "implicit_single_s2", "implicit_s600"),
         ("canonical bf16", "canon_bf16", "canonical600"),
+        ("canonical bf16+streams=2 (vs s2)", "canon_s2_bf16", "canon_s2"),
+        ("implicit bf16+streams=2 (vs s2)", "implicit_s2_bf16", "implicit_s2"),
         ("lazy-edge win (canonical)", "canonical600", "canon_lazyoff"),
         ("lazy-metrics win (implicit)", "implicit600", "implicit_lazyoff"),
     ]

@@ -86,8 +86,15 @@ run implicit_single_s2 MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600 MARF
 #     Mask_Error; auto = on-TPU default)
 run canon_lazyoff     MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_LAZY_METRICS=off
 run implicit_lazyoff  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_BENCH_LAZY_METRICS=off
-# 3. bf16 re-measure on the shipping v4/v5 kernel (VERDICT r2 item 7)
+# 3. bf16 re-measure on the shipping v4/v5 kernel (VERDICT r2 item 7).
+#    bf16 alone measured flat on earlier variants — consistent with the
+#    dependent-chain bound (PERF.md): if the kernel is serialized on one
+#    chain's latency, halving matmul cost doesn't shorten the critical path.
+#    Streams break the serialization, so bf16's 2x MXU rate may only pay off
+#    COMBINED with streams — measured here.
 run canon_bf16        MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_DTYPE=bfloat16
+run canon_s2_bf16     MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=2 MARF_BENCH_DTYPE=bfloat16
+run implicit_s2_bf16  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_FUSED_STREAMS=2 MARF_BENCH_DTYPE=bfloat16
 # 4. implicit dedup off (isolate the dedup win)
 run implicit_nodedup  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=off
 # 4b. profiler traces for the post-sweep glue attack (per-op tables into the
