@@ -105,6 +105,10 @@ def build_model():
     opt.tpu.fused_warp = FUSED_WARP
     opt.tpu.fused_dedup = FUSED_DEDUP
     opt.tpu.lazy_metrics = LAZY_METRICS
+    # config-first streams knob (tpu.fused_streams); the env default also
+    # reaches the kernels via the module fallback, but setting the config
+    # keeps bench on the exact path train.py users get
+    opt.tpu.fused_streams = int(os.environ.get("MARF_FUSED_STREAMS", 0))
     if no_posenc:
         opt.arch.posenc = False
 

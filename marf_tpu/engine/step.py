@@ -514,7 +514,10 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         gscalars = mask_cot_scalars(
             C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, esq is not None
         )
-        dstacks = fused_mask_backward_g(stacks, X_flat, sq, esq, gscalars, cdtype, n_heads)
+        dstacks = fused_mask_backward_g(
+            stacks, X_flat, sq, esq, gscalars, cdtype, n_heads,
+            n_streams=cfg.arch.fused_streams,
+        )
         if cfg.build_single_masks:
             dmask = jax.vmap(lambda dl: unfactor_mask_grads(dl, table))(dstacks)
         else:
@@ -675,7 +678,8 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         )
         stacks1 = mask_w_stack_batched(params["implicit_mask"], table, 1)
         dstacks = fused_mask_backward_g(
-            stacks1, X_all, Ssq, Sesq, gscalars, cdtype, 1, cnt_cf=cnt_all
+            stacks1, X_all, Ssq, Sesq, gscalars, cdtype, 1, cnt_cf=cnt_all,
+            n_streams=cfg.arch.fused_streams,
         )
         dmask = unfactor_mask_grads(
             [jax.tree.map(lambda a: a[0], layer) for layer in dstacks], table

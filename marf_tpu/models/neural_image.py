@@ -46,6 +46,10 @@ class NeuralImageConfig:
     # weights, sigmoid output and the master params stay f32. bfloat16 halves
     # the HBM activation traffic that bounds the backward pass.
     compute_dtype: str = "float32"
+    # independent SUB-lane column streams per kernel grid step (the
+    # dependent-chain lever — PERF.md "Independent column streams").
+    # 0 = fall back to the MARF_FUSED_STREAMS env default (1).
+    fused_streams: int = 0
 
     @property
     def input_dim(self) -> int:

@@ -134,6 +134,7 @@ class PlanarConfig:
             posenc_L=(opt.arch.posenc.L_2D if opt.arch.get("posenc") else None),
             barf_c2f=(tuple(opt.barf_c2f) if opt.get("barf_c2f") else None),
             compute_dtype=str(tpu_opts.get("compute_dtype", "float32")),
+            fused_streams=int(tpu_opts.get("fused_streams", 0) or 0),
         )
         return cls(
             H=opt.H,

@@ -52,6 +52,7 @@ from marf_tpu.ops.pallas.fused_step import (
     _VMEM_LIMIT,
     _expand_w1,
     _interpret,
+    _n_streams,
     _posenc_fwd,
     _posenc_vjp,
     _stack_bwd,
@@ -543,7 +544,8 @@ def fused_implicit_train_kernel(rgb_params, mask_stacks, coords_cf, x_cf, cw, ta
     cdtype = jnp.dtype(arch_cfg.compute_dtype)
     N = coords_cf.shape[1]
     HW = N // n_heads
-    subt = SUB * NSTREAMS  # columns per grid step (NSTREAMS independent chains)
+    ns = _n_streams(arch_cfg)
+    subt = SUB * ns  # columns per grid step (ns independent chains)
     hw_padded = -(-max(HW, subt) // subt) * subt
     T = hw_padded // subt
     grid = n_heads * T
@@ -588,7 +590,7 @@ def fused_implicit_train_kernel(rgb_params, mask_stacks, coords_cf, x_cf, cw, ta
     )
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_implicit_kernel, n_mask, n_rgb, L, NSTREAMS, cdtype)
+    kernel = functools.partial(_implicit_kernel, n_mask, n_rgb, L, ns, cdtype)
     n_padded = n_heads * hw_padded
     out_shapes = (
         [
@@ -657,7 +659,8 @@ def fused_implicit_train_kernel(rgb_params, mask_stacks, coords_cf, x_cf, cw, ta
 
 
 def fused_mask_backward_g(
-    mask_stacks, x_cf, sq_cf, esq_cf, gscalars, compute_dtype="float32", n_heads=1, cnt_cf=None
+    mask_stacks, x_cf, sq_cf, esq_cf, gscalars, compute_dtype="float32", n_heads=1, cnt_cf=None,
+    n_streams=0,
 ):
     """Mask-head backward with the in-kernel cotangent (kernel B).
 
@@ -671,6 +674,9 @@ def fused_mask_backward_g(
       gscalars: [4] f32 — (a, b, c, k) of dL/dm = (a*sq + b*esq + c)*m + k.
       n_heads: 1 or B.
       cnt_cf: [1, K] duplicate counts (dedup path); None = ones.
+      n_streams: independent column streams per grid step; 0 = the
+        MARF_FUSED_STREAMS module default (callers pass
+        cfg.arch.fused_streams).
 
     Returns the head-stacked effective gradient list [{w [H,in,out],
     b [H,out]} ...] (pass heads through `unfactor_mask_grads`).
@@ -679,7 +685,8 @@ def fused_mask_backward_g(
     cdtype = jnp.dtype(compute_dtype)
     N = x_cf.shape[1]
     HW = N // n_heads
-    subt = SUB * NSTREAMS  # columns per grid step (NSTREAMS independent chains)
+    ns = int(n_streams) or NSTREAMS
+    subt = SUB * ns  # columns per grid step (ns independent chains)
     hw_padded = -(-max(HW, subt) // subt) * subt
     T = hw_padded // subt
     grid = n_heads * T
@@ -719,7 +726,7 @@ def fused_mask_backward_g(
         (shp[0] // n_heads, shp[1]), lambda g: (g // T, 0), memory_space=pltpu.VMEM
     )
 
-    kernel = functools.partial(_mask_bwd_g_kernel, n_mask, T, rps[-1], NSTREAMS, cdtype)
+    kernel = functools.partial(_mask_bwd_g_kernel, n_mask, T, rps[-1], ns, cdtype)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -71,6 +71,13 @@ def fused_step_supported(arch_cfg) -> bool:
     return not arch_cfg.skip
 
 
+def _n_streams(arch_cfg) -> int:
+    """Config-first stream count: arch_cfg.fused_streams when set, else the
+    MARF_FUSED_STREAMS module default (the kernel measurement knob, also
+    monkeypatched by the stream-equality tests)."""
+    return int(getattr(arch_cfg, "fused_streams", 0) or NSTREAMS)
+
+
 def mxu_dot(a, b, dims):
     """MXU-style mixed-precision dot: (possibly bf16) operands, f32 result.
 
@@ -349,7 +356,8 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
     L = int(arch_cfg.posenc_L or 0)
     cdtype = jnp.dtype(arch_cfg.compute_dtype)
     N = coords_cf.shape[1]
-    subt = SUB * NSTREAMS  # columns per grid step (NSTREAMS independent chains)
+    ns = _n_streams(arch_cfg)
+    subt = SUB * ns  # columns per grid step (ns independent chains)
     n_padded = -(-max(N, subt) // subt) * subt
     grid = n_padded // subt
     out_dim = dims[-1][1]
@@ -376,7 +384,7 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
         else jnp.ones((max(L, 1), 1), dtype=jnp.float32)
     )
 
-    kernel = functools.partial(_kernel, n_layers, L, NSTREAMS, cdtype)
+    kernel = functools.partial(_kernel, n_layers, L, ns, cdtype)
     out_shapes = (
         [
             jax.ShapeDtypeStruct((out_dim, n_padded), jnp.float32),  # rgb
@@ -461,7 +469,8 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
     B = H.shape[0]
     assert B <= PB, f"v5 kernel supports at most {PB} images (got {B})"
     N = grid_b_cf.shape[1]
-    subt = SUB * NSTREAMS  # columns per grid step (NSTREAMS independent chains)
+    ns = _n_streams(arch_cfg)
+    subt = SUB * ns  # columns per grid step (ns independent chains)
     n_padded = -(-max(N, subt) // subt) * subt
     grid = n_padded // subt
     out_dim = dims[-1][1]
@@ -494,7 +503,7 @@ def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_lo
         else jnp.ones((max(L, 1), 1), dtype=jnp.float32)
     )
 
-    kernel = functools.partial(_kernel_warp, n_layers, L, NSTREAMS, cdtype)
+    kernel = functools.partial(_kernel_warp, n_layers, L, ns, cdtype)
     out_shapes = (
         [
             jax.ShapeDtypeStruct((out_dim, n_padded), jnp.float32),  # rgb

@@ -464,7 +464,8 @@ def _make_implicit_sharded_chunk(
             C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, cfg.use_edges
         )
         dstacks_local = fused_mask_backward_g(
-            stacks_local, d["mask_X"], sq_local, esq_local, gscalars, cdtype, n_heads_local
+            stacks_local, d["mask_X"], sq_local, esq_local, gscalars, cdtype, n_heads_local,
+            n_streams=cfg.arch.fused_streams,
         )
         if single:
             # whole heads per device: scatter local head grads into the full
@@ -698,7 +699,8 @@ def _make_implicit_dedup_sharded_chunk(
         cnt_l = jax.lax.dynamic_slice_in_dim(d["mask_cntpad"], didx * Klp, Klp, axis=1)
         stacks1 = mask_w_stack_batched(params["implicit_mask"], d["mask_table"], 1)
         dstacks_local = fused_mask_backward_g(
-            stacks1, d["mask_Xall"], Ssq_l, Sesq_l, gscalars, cdtype, 1, cnt_cf=cnt_l
+            stacks1, d["mask_Xall"], Ssq_l, Sesq_l, gscalars, cdtype, 1, cnt_cf=cnt_l,
+            n_streams=cfg.arch.fused_streams,
         )
         dstacks = jax.lax.psum(dstacks_local, DATA_AXIS)
         dmask = unfactor_mask_grads(

@@ -172,6 +172,28 @@ def test_fused_step_bfloat16(rng, monkeypatch, fused_warp, nstreams):
     assert np.isfinite(np.asarray(s16.params["warp"])).all()
 
 
+def test_fused_streams_config_knob(rng):
+    """tpu.fused_streams (NeuralImageConfig.fused_streams) selects the stream
+    count per-config — no env/module global needed — and equals NSTREAMS=1."""
+    arch2 = NeuralImageConfig(
+        layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4), fused_streams=2
+    )
+    _, on2 = cfg_pair(arch=arch2, fused_warp="on")
+    _, on1 = cfg_pair(fused_warp="on")
+    data = fake_data(on1, rng)
+    s2, m2 = run_steps(on2, data)
+    s1, m1 = run_steps(on1, data)
+    # streams regroup the tile iteration -> float-rounding-level differences
+    # only (same house tolerances as test_fused_step_multi_stream)
+    np.testing.assert_allclose(np.asarray(m2["all"]), np.asarray(m1["all"]), rtol=1e-5, atol=1e-7)
+    for li in range(len(on1.arch.layer_dims)):
+        np.testing.assert_allclose(
+            np.asarray(s2.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s1.params["neural_image"]["mlp"][li]["w"]),
+            rtol=1e-3, atol=1e-6, err_msg=f"layer {li} weights",
+        )
+
+
 def test_lazy_metrics_matches_eager(rng):
     """tpu.lazy_metrics: the parameter trajectory is untouched (the edge term
     is gradient-blocked; Homography_Error is pure-metric), chunk-final
