@@ -47,7 +47,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from marf_tpu.ops.pallas.fused_step import (
-    NSTREAMS,
     SUB,
     _VMEM_LIMIT,
     _expand_w1,
@@ -685,7 +684,7 @@ def fused_mask_backward_g(
     cdtype = jnp.dtype(compute_dtype)
     N = x_cf.shape[1]
     HW = N // n_heads
-    ns = int(n_streams) or NSTREAMS
+    ns = int(n_streams) or _n_streams()
     subt = SUB * ns  # columns per grid step (ns independent chains)
     hw_padded = -(-max(HW, subt) // subt) * subt
     T = hw_padded // subt

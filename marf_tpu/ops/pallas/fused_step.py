@@ -71,11 +71,12 @@ def fused_step_supported(arch_cfg) -> bool:
     return not arch_cfg.skip
 
 
-def _n_streams(arch_cfg) -> int:
+def _n_streams(arch_cfg=None) -> int:
     """Config-first stream count: arch_cfg.fused_streams when set, else the
     MARF_FUSED_STREAMS module default (the kernel measurement knob, also
-    monkeypatched by the stream-equality tests)."""
-    return int(getattr(arch_cfg, "fused_streams", 0) or NSTREAMS)
+    monkeypatched by the stream-equality tests). All four kernels resolve
+    through THIS module's NSTREAMS so a single rebind reaches every kernel."""
+    return int(getattr(arch_cfg, "fused_streams", 0) or 0) or NSTREAMS
 
 
 def mxu_dot(a, b, dims):
@@ -86,7 +87,7 @@ def mxu_dot(a, b, dims):
     the operands first — numerically identical: every bf16 x bf16 product is
     exact in f32 (8-bit mantissas), and accumulation is f32 in both forms.
     """
-    if _interpret() and a.dtype == jnp.bfloat16:
+    if _interpret() and jnp.bfloat16 in (a.dtype, b.dtype):
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
     return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)

@@ -354,8 +354,9 @@ def test_fused_implicit_multi_stream(rng, monkeypatch, nstreams):
     from marf_tpu.ops.pallas import fused_mask as fm
     from marf_tpu.ops.pallas import fused_step as fs
 
+    # all four kernels resolve streams through fused_step.NSTREAMS
+    # (fused_step._n_streams) — one rebind reaches kernel A and B too
     monkeypatch.setattr(fs, "NSTREAMS", nstreams)
-    monkeypatch.setattr(fm, "NSTREAMS", nstreams)
     monkeypatch.setattr(fs, "SUB", 256)
     monkeypatch.setattr(fm, "SUB", 256)
     off, on = cfg_pair(use_edges=True, alpha_initial=0.3, build_single_masks=True)

@@ -172,9 +172,14 @@ def test_fused_step_bfloat16(rng, monkeypatch, fused_warp, nstreams):
     assert np.isfinite(np.asarray(s16.params["warp"])).all()
 
 
-def test_fused_streams_config_knob(rng):
+def test_fused_streams_config_knob(rng, monkeypatch):
     """tpu.fused_streams (NeuralImageConfig.fused_streams) selects the stream
     count per-config — no env/module global needed — and equals NSTREAMS=1."""
+    from marf_tpu.ops.pallas import fused_step as fs
+
+    # pin the module default so an inherited MARF_FUSED_STREAMS env can't
+    # silently turn this into a streams=2-vs-streams=2 comparison
+    monkeypatch.setattr(fs, "NSTREAMS", 1)
     arch2 = NeuralImageConfig(
         layers=(None, 64, 64, 3), posenc_L=4, barf_c2f=(0, 0.4), fused_streams=2
     )

@@ -30,7 +30,17 @@ while true; do
     attempt=$((attempt + 1))
     echo "TUNNEL BACK $(date -u) — sweep attempt $attempt/$MAX_ATTEMPTS" > /tmp/tpu_status
     touch /tmp/tpu_lock
-    if [ "$attempt" -gt 1 ]; then export MARF_SWEEP_RESUME=1; fi
+    # resume whenever the existing rows were measured on THIS code revision —
+    # keyed on git HEAD, not the attempt counter, so a watcher restart (the
+    # outage class this insures against) doesn't wipe measured rows; a new
+    # commit invalidates them instead of mixing code versions
+    HEAD=$(git rev-parse HEAD 2>/dev/null || echo unknown)
+    if [ -e /tmp/tpu_sweep.head ] && [ "$(cat /tmp/tpu_sweep.head)" = "$HEAD" ]; then
+      export MARF_SWEEP_RESUME=1
+    else
+      unset MARF_SWEEP_RESUME
+    fi
+    echo "$HEAD" > /tmp/tpu_sweep.head
     if bash tools/tpu_sweep.sh; then
       python tools/harvest_sweep.py /tmp/tpu_sweep.jsonl --apply \
         > /tmp/tpu_harvest.txt 2>&1
