@@ -126,6 +126,40 @@ def build_model():
     return m, dataset
 
 
+def _cpu_only() -> bool:
+    """True when the FIRST configured platform is cpu — no tunnel involved."""
+    platforms = os.environ.get(
+        "JAX_PLATFORMS", os.environ.get("JAX_PLATFORM_NAME", "")
+    ).lower()
+    return platforms.split(",")[0].strip() == "cpu"
+
+
+TPU_LOCK = "/tmp/tpu_lock"
+
+
+def wait_for_tpu_lock():
+    """Honor the one-TPU-process protocol (CLAUDE.md): /tmp/tpu_lock marks
+    TPU work in flight (the tools/tpu_watch.sh measurement sweep, or manual
+    runs). Colliding would fail BOTH processes and can wedge the chip, so
+    wait for the lock to clear (bounded by MARF_BENCH_LOCK_WAIT seconds)
+    instead. The lock owner's own bench runs set MARF_TPU_LOCK_OWNER=1."""
+    if os.environ.get("MARF_TPU_LOCK_OWNER") == "1" or _cpu_only():
+        return
+    limit = float(os.environ.get("MARF_BENCH_LOCK_WAIT", 7200))
+    t0 = time.time()
+    waited = False
+    while os.path.exists(TPU_LOCK) and time.time() - t0 < limit:
+        if not waited:
+            log(f"{TPU_LOCK} present (TPU in use — sweep/watcher or manual "
+                f"run); waiting up to {limit:.0f}s for it to clear")
+            waited = True
+        time.sleep(30)
+    if waited:
+        held = os.path.exists(TPU_LOCK)
+        log(f"lock {'still held after the wait — proceeding anyway' if held else 'cleared'} "
+            f"({time.time() - t0:.0f}s)")
+
+
 def probe_backend():
     """Bounded backend probe so an infra outage yields a parseable artifact.
 
@@ -138,10 +172,7 @@ def probe_backend():
     """
     if os.environ.get("MARF_BENCH_PROBE", "1") == "0":
         return
-    platforms = os.environ.get(
-        "JAX_PLATFORMS", os.environ.get("JAX_PLATFORM_NAME", "")
-    ).lower()
-    if platforms.split(",")[0].strip() == "cpu":
+    if _cpu_only():
         return  # CPU-first config: no tunnel involved; skip the second jax import
     timeout_s = float(os.environ.get("MARF_BENCH_PROBE_TIMEOUT", 90))
     code = "import jax; print(jax.devices()[0])"
@@ -182,6 +213,7 @@ def probe_backend():
 
 
 def main():
+    wait_for_tpu_lock()
     probe_backend()
     if PRECISION:
         jax.config.update("jax_default_matmul_precision", PRECISION)

@@ -61,6 +61,41 @@ def test_probe_attempted_when_tunnel_involved(monkeypatch, deny_subprocess, plat
         bench.probe_backend()
 
 
+def test_lock_wait_skipped_for_owner_and_cpu(monkeypatch, tmp_path):
+    lock = tmp_path / "tpu_lock"
+    lock.touch()
+    monkeypatch.setattr(bench, "TPU_LOCK", str(lock))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    # owner: never waits even with the lock present
+    monkeypatch.setenv("MARF_TPU_LOCK_OWNER", "1")
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    bench.wait_for_tpu_lock()
+    # cpu-only: lock is irrelevant
+    monkeypatch.delenv("MARF_TPU_LOCK_OWNER", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    bench.wait_for_tpu_lock()
+
+
+def test_lock_wait_until_cleared(monkeypatch, tmp_path):
+    """With the lock held (sweep in flight), bench waits and proceeds once
+    the lock clears — instead of colliding on the one-TPU-process rule."""
+    lock = tmp_path / "tpu_lock"
+    lock.touch()
+    monkeypatch.setattr(bench, "TPU_LOCK", str(lock))
+    monkeypatch.delenv("MARF_TPU_LOCK_OWNER", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        if len(sleeps) == 2:
+            lock.unlink()  # sweep finished
+
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    bench.wait_for_tpu_lock()
+    assert len(sleeps) == 2
+
+
 def test_probe_failure_emits_parseable_json(monkeypatch, capsys):
     """A probe that exits non-zero produces one JSON line + SystemExit(2)."""
     import json

@@ -15,6 +15,9 @@
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
+# whoever runs the sweep owns the TPU window (and usually holds /tmp/tpu_lock,
+# per CLAUDE.md) — its bench children must not wait on their own lock
+export MARF_TPU_LOCK_OWNER="${MARF_TPU_LOCK_OWNER:-1}"
 OUT="${MARF_SWEEP_OUT:-/tmp/tpu_sweep.jsonl}"
 LOG="${MARF_SWEEP_LOG:-/tmp/tpu_sweep.log}"
 if [ -z "${MARF_SWEEP_RESUME:-}" ] || [ ! -e "$OUT" ]; then : > "$OUT"; fi
