@@ -212,6 +212,20 @@ def probe_backend():
     sys.exit(2)
 
 
+def golden_record(final_psnr, g):
+    """Evaluate one golden band -> (ok: bool, record dict).
+
+    Pure-Python outputs only: the record is embedded in bench's result JSON,
+    and json.dumps rejects numpy scalars (np.isfinite returns np.bool_ —
+    `X and np.bool_` leaks it; this crashed every golden-checked sweep run
+    once). Unit-tested with numpy inputs in tests/test_bench_probe.py.
+    """
+    delta = abs(final_psnr - g["psnr"])
+    ok = bool(delta <= g["band"]) and bool(np.isfinite(final_psnr))
+    return ok, {"psnr": g["psnr"], "band": g["band"],
+                "delta": round(float(delta), 4), "ok": ok}
+
+
 def main():
     wait_for_tpu_lock()
     probe_backend()
@@ -275,10 +289,8 @@ def main():
             goldens = {}
         g = goldens.get(golden_key)
         if g is not None:
-            delta = abs(final.get("PSNR", float("nan")) - g["psnr"])
-            golden_ok = bool(delta <= g["band"]) and np.isfinite(final.get("PSNR", float("nan")))
-            extra["golden"] = {"key": golden_key, "psnr": g["psnr"], "band": g["band"],
-                               "delta": round(delta, 4), "ok": golden_ok}
+            golden_ok, rec = golden_record(final.get("PSNR", float("nan")), g)
+            extra["golden"] = {"key": golden_key, **rec}
             if not golden_ok:
                 log(f"GOLDEN CHECK FAILED: {golden_key} "
                     f"PSNR {final.get('PSNR', float('nan')):.3f} "

@@ -96,6 +96,24 @@ def test_lock_wait_until_cleared(monkeypatch, tmp_path):
     assert len(sleeps) == 2
 
 
+def test_golden_record_json_serializable_with_numpy_psnr():
+    """Metrics arrive as numpy scalars; the golden record must still be pure
+    Python, or json.dumps(result) dies AFTER the timed run (this crashed every
+    golden-checked TPU sweep stage once — np.bool_ leaked via `and`)."""
+    import json
+
+    import numpy as np
+
+    g = {"psnr": 25.05, "band": 2.5}
+    for psnr in (np.float32(25.0), np.float64(30.0), float("nan")):
+        ok, rec = bench.golden_record(psnr, g)
+        assert isinstance(ok, bool)
+        json.dumps(rec)  # must not raise
+    assert bench.golden_record(np.float32(25.0), g)[0] is True
+    assert bench.golden_record(np.float64(30.0), g)[0] is False
+    assert bench.golden_record(float("nan"), g)[0] is False
+
+
 def test_probe_failure_emits_parseable_json(monkeypatch, capsys):
     """A probe that exits non-zero produces one JSON line + SystemExit(2)."""
     import json
