@@ -20,7 +20,10 @@ Run on TPU (tools/tpu_sweep.sh runs it last):
 Off-TPU it exits 0 with a skip notice — interpret/CPU paths never miscompiled.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
