@@ -20,43 +20,63 @@ cv2 numerics reproduced:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-_SOBEL_X = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-_SOBEL_Y = _SOBEL_X.T
-# cv2.getGaussianKernel(5, 0) uses the fixed small_gaussian_tab for ksize<=7.
-_GAUSS_1D = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
-_GAUSS_5X5 = np.outer(_GAUSS_1D, _GAUSS_1D)
+# Separable factors (correlation taps): SOBEL_X = outer(_SMOOTH_121 along H,
+# _DERIV_101 along W), SOBEL_Y its transpose. cv2.getGaussianKernel(5, 0)
+# uses the fixed small_gaussian_tab for ksize<=7.
+_SMOOTH_121 = (1.0, 2.0, 1.0)
+_DERIV_101 = (-1.0, 0.0, 1.0)
+_GAUSS_1D = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
-def _depthwise_conv2d(images: jax.Array, kernel2d: np.ndarray) -> jax.Array:
-    """Depthwise 2D correlation with reflect-101 padding.
+@functools.lru_cache(maxsize=None)
+def _reflect101_band(n: int, taps: tuple[float, ...]) -> np.ndarray:
+    """[n, n] band matrix M with M @ x == 1-D correlation of x by `taps`
+    under reflect-101 (cv2 BORDER_DEFAULT / np.pad mode='reflect') borders:
+    out[i] = sum_k taps[k] * x[reflect(i + k - len//2)]. Folding the border
+    into the matrix lets the 2-D depthwise filters below run as two MXU
+    matmuls instead of XLA's grouped-conv lowering, which executes these
+    small-channel depthwise convs as ~100 GFLOP/s loop fusions with layout
+    copies (~1 ms/step of the round-4 implicit TPU trace, PERF.md)."""
+    pad = len(taps) // 2
+    m = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for k, t in enumerate(taps):
+            j = i + k - pad
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * n - 2 - j
+            m[i, j] += t
+    return m.astype(np.float32)
+
+
+def _sep_conv2d(images: jax.Array, taps_h: tuple[float, ...], taps_w: tuple[float, ...]) -> jax.Array:
+    """Separable depthwise 2-D correlation with reflect-101 padding, as two
+    band-matrix contractions on the MXU (HIGHEST precision: parity with the
+    f32 conv the CPU/interpret tests check against cv2).
 
     Args:
       images: [B, C, H, W].
-      kernel2d: [kh, kw] filter applied to every channel independently.
+      taps_h / taps_w: 1-D correlation taps along H / W.
 
     Returns:
-      [B, C, H, W] filtered images.
+      [B, C, H, W] filtered images, input dtype.
     """
-    B, C, H, W = images.shape
-    kh, kw = kernel2d.shape
-    pad_h, pad_w = kh // 2, kw // 2
-    padded = jnp.pad(images, ((0, 0), (0, 0), (pad_h, pad_h), (pad_w, pad_w)), mode="reflect")
-    kernel = jnp.asarray(kernel2d, dtype=images.dtype)
-    kernel = jnp.broadcast_to(kernel, (C, 1, kh, kw))
-    return lax.conv_general_dilated(
-        padded,
-        kernel,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=C,
-    )
+    H, W = images.shape[-2], images.shape[-1]
+    mh = jnp.asarray(_reflect101_band(H, taps_h))
+    mw = jnp.asarray(_reflect101_band(W, taps_w))
+    x = images.astype(jnp.float32)
+    y = jnp.einsum("gh,bchw->bcgw", mh, x, precision=lax.Precision.HIGHEST)
+    y = jnp.einsum("kw,bchw->bchk", mw, y, precision=lax.Precision.HIGHEST)
+    return y.astype(images.dtype)
 
 
 def sobel_edges(images: jax.Array, eps: float = 0.0) -> jax.Array:
@@ -71,14 +91,14 @@ def sobel_edges(images: jax.Array, eps: float = 0.0) -> jax.Array:
     Returns:
       [B, C, H, W] gradient magnitudes.
     """
-    gx = _depthwise_conv2d(images, _SOBEL_X)
-    gy = _depthwise_conv2d(images, _SOBEL_Y)
+    gx = _sep_conv2d(images, _SMOOTH_121, _DERIV_101)
+    gy = _sep_conv2d(images, _DERIV_101, _SMOOTH_121)
     return jnp.sqrt(gx * gx + gy * gy + eps)
 
 
 def gaussian_blur_5x5(images: jax.Array) -> jax.Array:
     """cv2.GaussianBlur(img, (5,5), 0) equivalent (reference inputs.py:66)."""
-    return _depthwise_conv2d(images, _GAUSS_5X5)
+    return _sep_conv2d(images, _GAUSS_1D, _GAUSS_1D)
 
 
 def compute_edges(images: jax.Array, differentiable: bool = False) -> jax.Array:
