@@ -79,7 +79,7 @@ aux() {
 #    The first run keeps the backend probe (outage insurance if the sweep is
 #    launched by hand without one); later runs skip it — the tunnel was
 #    green seconds ago, and the probe costs a full TPU client init each.
-run canonical600      MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0
+run canonical600      MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600
 # only drop the probe once canonical600 has a MEASURED row (this attempt or a
 # resumed one) — an outage-classified first run keeps the probe so later runs
 # fail in 90s instead of hanging for their full 2400s timeout
@@ -90,7 +90,7 @@ if have '"tag": "canonical600", "r":'; then export MARF_BENCH_PROBE=0; fi
 run canonical3000     MARF_BENCH_CASE=canonical
 run implicit600       MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_FUSED_DEDUP=on
 run implicit_s600     MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600
-run noposenc600       MARF_BENCH_CASE=noposenc MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0
+run noposenc600       MARF_BENCH_CASE=noposenc MARF_BENCH_ITERS=600
 run edges600          MARF_BENCH_CASE=edges_only MARF_BENCH_ITERS=600
 # 2. streams sweep
 run canon_s2          MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=2
