@@ -26,6 +26,8 @@ Env knobs (defaults = the faithful canonical config):
     MARF_BENCH_FUSED_STEP  auto | on | off (tpu.fused_step)
     MARF_BENCH_FUSED_WARP  auto | on | off (tpu.fused_warp, v5 in-kernel warp)
     MARF_BENCH_FUSED_DEDUP auto | on | off (tpu.fused_dedup, implicit column dedup)
+    MARF_BENCH_FLAT_ADAM   auto | on | off (tpu.flat_adam; off = per-leaf
+                           multi_transform Adam)
     MARF_BENCH_LAZY_METRICS auto | on | off (tpu.lazy_metrics: chunk-final-only
                            edge term / Homography_Error / Mask_Error)
     MARF_BENCH_PRECISION   '' | highest (jax_default_matmul_precision)
@@ -105,6 +107,7 @@ def build_model():
     opt.tpu.fused_warp = FUSED_WARP
     opt.tpu.fused_dedup = FUSED_DEDUP
     opt.tpu.lazy_metrics = LAZY_METRICS
+    opt.tpu.flat_adam = os.environ.get("MARF_BENCH_FLAT_ADAM", "auto")
     # config-first streams knob (tpu.fused_streams); the env default also
     # reaches the kernels via the module fallback, but setting the config
     # keeps bench on the exact path train.py users get

@@ -178,8 +178,23 @@ class Model:
 
         # flat-space Adam (one fused [P] update pass, exact-equal to the
         # per-group multi_transform — step.py make_flat_optimizer); falls
-        # back for non-Adam algos
-        self.tx = make_flat_optimizer(dict(self.opt.optim), self.cfg.max_iter, self.params)
+        # back for non-Adam algos, or when tpu.flat_adam resolves to off.
+        # 'auto' picks multi_transform for per-image mask heads: their
+        # ragged head-stacked leaves (56-lane / head-padded rows) pay a
+        # ~0.34 ms/step tiled-layout relayout coming out of the flat [P]
+        # vector, and the per-leaf update measures +10.5% there (196.6 vs
+        # 177.8 steps/s, golden held — PERF.md round-4); everywhere else
+        # the flat pass wins (multi_transform's per-leaf fusions cost
+        # ~0.28 ms/step on canonical, PERF.md round-3).
+        flat_mode = str(self.opt.get("tpu", {}).get("flat_adam", "auto"))
+        use_flat = {"on": True, "off": False}.get(
+            flat_mode, not getattr(self.cfg, "build_single_masks", False)
+        )
+        self.tx = (
+            make_flat_optimizer(dict(self.opt.optim), self.cfg.max_iter, self.params)
+            if use_flat
+            else None
+        )
         if self.tx is None:
             self.tx = make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
         self.state = init_train_state(self.params, self.tx)
@@ -191,24 +206,34 @@ class Model:
             try:
                 self.state = ckpt_lib.restore_checkpoint(restore, self.state)
             except Exception as first_err:
-                # checkpoints written before the flat-space Adam carry the
-                # optax.multi_transform state structure — self-heal by
-                # rebuilding that optimizer (trajectory-equal, see
-                # make_flat_optimizer) and restoring against it. If that
+                # the checkpoint may carry the OTHER Adam state layout
+                # (multi_transform vs flat — trajectory-equal, see
+                # make_flat_optimizer; which one a run uses depends on
+                # tpu.flat_adam and the config) — self-heal by rebuilding
+                # the other optimizer and restoring against it. If that
                 # ALSO fails, the checkpoint is broken for some other
                 # reason: re-raise the ORIGINAL error so it isn't
                 # misattributed to the optimizer layout.
-                tx_flat = self.tx
+                tx_primary = self.tx
                 try:
-                    self.tx = make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
+                    self.tx = (
+                        make_optimizer(dict(self.opt.optim), self.cfg.max_iter)
+                        if use_flat
+                        else make_flat_optimizer(
+                            dict(self.opt.optim), self.cfg.max_iter, self.params
+                        )
+                    )
+                    if self.tx is None:  # non-Adam: no alternate layout exists
+                        raise first_err
                     self.state = init_train_state(self.params, self.tx)
                     self.state = ckpt_lib.restore_checkpoint(restore, self.state)
                 except Exception:
-                    self.tx = tx_flat
+                    self.tx = tx_primary
                     raise first_err
                 log.warn(
-                    "checkpoint has the pre-flat-Adam per-group optimizer "
-                    "state layout; using optax.multi_transform for this run"
+                    "checkpoint carries the other Adam state layout "
+                    f"({'multi_transform' if use_flat else 'flat'}); "
+                    "using it for this run (trajectory-equal)"
                 )
             self.it = int(self.state.step)
         if self.mesh is not None:
