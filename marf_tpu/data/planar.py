@@ -173,7 +173,11 @@ def load_homography(fps: list[str] | None, width: int, height: int, append_ident
     for fp in fps:
         homs.append(np.loadtxt(fp).astype(np.float32))
     gt = np.stack(homs)
-    norm = normalize_homography(jnp.asarray(gt), (width, height), (width, height))
+    # setup-time math stays on the host CPU backend: compiling even these
+    # tiny [B,3,3] ops through a remote-TPU tunnel costs minutes on a cold
+    # compilation cache (measured: train.py stalled ~3 min at dataset load)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        norm = normalize_homography(jnp.asarray(gt), (width, height), (width, height))
     return np.asarray(norm)
 
 
@@ -281,7 +285,8 @@ def synthesize_planar_dataset(
     rgb = np.stack(rgbs)
     masks = np.stack(masks)
     gray = rgb.mean(axis=1, keepdims=True).astype(np.float32)
-    gt_hom = np.asarray(normalize_homography(jnp.asarray(np.stack(homs)), (cfg.W, cfg.H), (cfg.W, cfg.H)))
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):  # see load_homography
+        gt_hom = np.asarray(normalize_homography(jnp.asarray(np.stack(homs)), (cfg.W, cfg.H), (cfg.W, cfg.H)))
     return {
         "gt": canvas.transpose(2, 0, 1),
         "rgb": rgb,

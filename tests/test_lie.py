@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 import scipy.linalg
 
-from marf_tpu.ops.lie import expm3x3, sl3_generator, sl3_to_SL3
+from marf_tpu.ops.lie import expm3x3, expm_pade_static, sl3_generator, sl3_to_SL3
 
 
 def test_taylor_matches_pade_and_scipy(rng):
@@ -26,6 +26,51 @@ def test_taylor_matches_default_pade(rng):
     np.testing.assert_allclose(
         np.asarray(sl3_to_SL3(h, method="taylor")), np.asarray(sl3_to_SL3(h)), rtol=2e-5, atol=2e-6
     )
+
+
+def test_pade_static_bitwise_equals_jax_scipy(rng):
+    """The control-flow-free Pade replica must be BITWISE equal to
+    jax.scipy.linalg.expm — value and VJP — across the f32 Pade orders
+    (norm bands split at 0.426 / 1.88) and squaring counts (norm > 3.93):
+    the default method's f32 rounding profile is a measured-quality
+    invariant (ops/lie.py method note).
+
+    Both sides are compared under jit, which is how the train step always
+    runs them: unjitted, jax.scipy's @jit-decorated _calc_P_Q gets XLA's
+    FMA contraction while an op-by-op caller does not, so eager bit
+    equality is not even well-defined for the reference itself."""
+    import jax.scipy.linalg as jsl
+
+    @jax.jit
+    def f_mine(A, ct):
+        out, vjp = jax.vjp(expm_pade_static, A)
+        return out, vjp(ct)[0]
+
+    @jax.jit
+    def f_ref(A, ct):
+        out, vjp = jax.vjp(lambda a: jax.vmap(jsl.expm)(a), A)
+        return out, vjp(ct)[0]
+
+    for scale in (1e-3, 0.05, 0.3, 1.0, 3.0, 10.0, 60.0):
+        h = rng.randn(6, 8).astype(np.float32) * scale
+        A = sl3_generator(jnp.asarray(h))
+        ct = jnp.asarray(rng.randn(6, 3, 3).astype(np.float32))
+        ours, g_ours = f_mine(A, ct)
+        ref, g_ref = f_ref(A, ct)
+        # NaN-aware array_equal: at scale 60 the squarings legitimately
+        # overflow f32 in BOTH implementations (identical NaN pattern)
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+        if scale <= 10.0:  # finite range: VJPs must match bit-for-bit
+            assert np.isfinite(np.asarray(ours)).all()
+            np.testing.assert_array_equal(np.asarray(g_ours), np.asarray(g_ref))
+
+
+def test_pade_static_nan_guard():
+    """n_squarings > 16 (norm > ~3.9e5) must produce NaN, matching the
+    reference implementation's lax.cond guard."""
+    A = jnp.eye(3, dtype=jnp.float32)[None] * 1e7
+    out = np.asarray(expm_pade_static(A))
+    assert np.isnan(out).all()
 
 
 def test_generator_layout():
