@@ -541,13 +541,15 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         exact mask-head FLOP cut). Columns are laid out slot0+extras so the
         position<->column mapping is dense: slot0 (each pixel's majority
         combo) aligns with the per-position [B, HW] streams — its m-scatter
-        and sq/esq segment-sums are broadcast multiplies with the constant
-        {0,1} slot0map — while the E (~1.5k) extra columns use E-sized
-        scatter-add/gathers. The chain: mask fwd kernel on the HW+E columns
+        is a broadcast multiply with the constant {0,1} slot0map and its
+        sq/esq segment-sums fold INTO kernel B (round-4
+        fused_mask_backward_dedup: [B, tile] loads reduced over sublanes)
+        — while the E (~1.5k) extra columns use E-sized scatter-add/gathers.
+        The chain: mask fwd kernel on the Kp pre-padded columns
         -> dense expansion of m to positions -> the flagship rgb train
         kernel (v5/v4, ops/pallas/fused_step.py) masked by m ->
-        gradient-blocked edge conv -> dense per-column segment sums ->
-        mask bwd kernel with the in-kernel cotangent
+        gradient-blocked edge conv -> mask bwd kernel with the in-kernel
+        segment-sum and cotangent
         G_k = (a*Ssq + b*Sesq + c*cnt)*m + k*cnt — the exact groupby of
         dL/dm_i over a column's positions (dW = sum_i d_i a_i^T groups by
         identical a_i). Loss semantics identical to the reference
@@ -555,10 +557,9 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         coefficient derivation."""
         from marf_tpu.ops.filters import compute_edges
         from marf_tpu.ops.pallas.fused_mask import (
-            fused_mask_backward_g,
+            fused_mask_backward_dedup,
             fused_mask_forward,
             mask_w_stack,
-            mask_w_stack_batched,
             unfactor_mask_grads,
         )
         from marf_tpu.ops.pallas.fused_step import PB, fused_train_kernel
@@ -572,13 +573,15 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         N = B * HW
         cdtype = cfg.arch.compute_dtype
 
-        X_all = data["mask_Xall"]  # [X_ROWS, HW+E]
+        X_all = data["mask_Xall"]  # [X_ROWS, Kp] (pre-padded to the kernel tile)
         slot0map = data["mask_slot0map"]  # [B, HW] {0,1}
+        s0map_p = data["mask_slot0map_p"]  # [B, Kp] (zero on extras/padding)
         ext_pix = data["mask_ext_pix"]  # [E] int32
         extmap = data["mask_extmap"]  # [B, E] {0,1}
-        cnt_all = data["mask_cntall"]  # [1, HW+E]
+        cnt_all = data["mask_cntall"]  # [1, Kp]
         table = data["mask_table"]
         E = ext_pix.shape[0]
+        Kp = X_all.shape[1]
 
         C_r, C_e, C_m = implicit_loss_coeffs(cfg, alpha)
 
@@ -586,11 +589,11 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         # positions: each position (b, p) has exactly one active column, so
         # m[b, p] = slot0map[b,p]*m0[p] + sum_j extmap[b,j]*[p==ext_pix[j]]*m_e[j]
         stack = mask_w_stack(params["implicit_mask"], table)
-        m_all = fused_mask_forward(stack, X_all, cdtype)  # [1, HW+E]
+        m_all = fused_mask_forward(stack, X_all, cdtype)  # [1, Kp]
         m0 = m_all[:, :HW]
         m_pos = slot0map * m0  # [B, HW] broadcast
         if E:
-            m_e = m_all[0, HW:]
+            m_e = m_all[0, HW : HW + E]
             m_pos = m_pos.at[:, ext_pix].add(extmap * m_e[None, :])
         m_flat = m_pos.reshape(1, N)
         msum = jnp.dot(cnt_all[0], m_all[0])
@@ -647,10 +650,13 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             edge_pred_cf = compute_edges(rgb_cf.reshape(3, B, h, w), differentiable=False)
             outputs["edge_prediction"] = edge_pred_cf.transpose(1, 0, 2, 3)
             edges_cf = data["edges"].transpose(1, 0, 2, 3)
-            esq = jnp.sum((edge_pred_cf - edges_cf) ** 2, axis=0).reshape(1, N)
-            edge_loss = jnp.sum(m_flat * m_flat * esq) * inv_sum3
+            # per-image layout [B, HW]: kernel B consumes it directly, and
+            # the edge loss uses m_pos in the same layout — the round-4
+            # [B,h,w] -> [1,N] -> [B,HW] relayout pair disappears
+            esq_b = jnp.sum((edge_pred_cf - edges_cf) ** 2, axis=0).reshape(B, HW)
+            edge_loss = jnp.sum(m_pos * m_pos * esq_b) * inv_sum3
         else:
-            esq = None
+            esq_b = None
             edge_loss = jnp.asarray(0.0, dtype=jnp.float32)
         mask_loss = jnp.mean((1.0 - m_flat) ** 2)
         loss = {
@@ -661,29 +667,29 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
         }
         total = summarize_loss(loss, cfg.loss_weight)
 
-        # ---- segment-sum the cotangent streams to column space (dense over
-        # slot0, E-sized gathers for extras) and run kernel B on HW+E columns
-        def seg_sum(v):  # [1, N] -> [1, HW+E] summed over a column's positions
-            vb = v.reshape(B, HW)
-            s0 = jnp.sum(slot0map * vb, axis=0, keepdims=True)  # [1, HW]
-            if not E:
-                return s0
-            se = jnp.sum(extmap * vb[:, ext_pix], axis=0, keepdims=True)  # [1, E]
-            return jnp.concatenate([s0, se], axis=1)
-
-        Ssq = seg_sum(sq)
-        Sesq = seg_sum(esq) if esq is not None else None
-        gscalars = mask_cot_scalars(
-            C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, esq is not None
+        # ---- kernel B on the Kp unique columns with the slot0 segment-sum
+        # folded IN-KERNEL (fused_mask_backward_dedup): XLA only supplies the
+        # per-image streams (zero-padded past HW) and `base`, which carries
+        # the E extras columns' segment sums (E-sized gathers) + c*cnt
+        a_s, b_s, c_s, k_s = mask_cot_scalars(
+            C_r, C_e, C_m, inv_sum3, rgb_loss, edge_loss, N, esq_b is not None
         )
-        stacks1 = mask_w_stack_batched(params["implicit_mask"], table, 1)
-        dstacks = fused_mask_backward_g(
-            stacks1, X_all, Ssq, Sesq, gscalars, cdtype, 1, cnt_cf=cnt_all,
+        sq_b = sq.reshape(B, HW)
+        base = c_s * cnt_all
+        if E:
+            Ssq_e = jnp.sum(extmap * sq_b[:, ext_pix], axis=0)  # [E]
+            tail = a_s * Ssq_e
+            if esq_b is not None:
+                tail = tail + b_s * jnp.sum(extmap * esq_b[:, ext_pix], axis=0)
+            base = base + jnp.pad(tail[None, :], ((0, 0), (HW, Kp - HW - E)))
+        pad_b = lambda v: jnp.pad(v, ((0, 0), (0, Kp - HW)))
+        dstack = fused_mask_backward_dedup(
+            stack, X_all, s0map_p, pad_b(sq_b),
+            pad_b(esq_b) if esq_b is not None else None,
+            base, cnt_all, jnp.stack([a_s, b_s, k_s]), cdtype,
             n_streams=cfg.arch.fused_streams,
         )
-        dmask = unfactor_mask_grads(
-            [jax.tree.map(lambda a: a[0], layer) for layer in dstacks], table
-        )
+        dmask = unfactor_mask_grads(dstack, table)
         grads = {
             "neural_image": dmlp,
             "warp": dwarp,

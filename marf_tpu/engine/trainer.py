@@ -308,16 +308,13 @@ class Model:
                 # HW+E slot0+extras columns only (fused_mask.py
                 # slot_dedup_inputs; ~4.8x fewer mask FLOPs on cat_batch3,
                 # with dense per-step glue — no [N]-scale gathers).
-                from marf_tpu.ops.pallas.fused_mask import slot_dedup_inputs
+                from marf_tpu.ops.pallas.fused_mask import slot_dedup_padded_inputs
 
-                X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(
-                    np.asarray(uv), np.asarray(onehot)
+                dedup_data = slot_dedup_padded_inputs(
+                    np.asarray(uv), np.asarray(onehot), cfg.arch
                 )
-                self.data["mask_Xall"] = jax.device_put(jnp.asarray(X_all))
-                self.data["mask_slot0map"] = jax.device_put(jnp.asarray(slot0map))
-                self.data["mask_ext_pix"] = jax.device_put(jnp.asarray(ext_pix))
-                self.data["mask_extmap"] = jax.device_put(jnp.asarray(extmap))
-                self.data["mask_cntall"] = jax.device_put(jnp.asarray(cnt_all))
+                for k, v in dedup_data.items():
+                    self.data[k] = jax.device_put(jnp.asarray(v))
         if (
             cfg.use_implicit_mask
             and not cfg.train_view_embedding

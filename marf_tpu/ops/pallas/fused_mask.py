@@ -166,6 +166,34 @@ def slot_dedup_inputs(uv: np.ndarray, onehot: np.ndarray):
     return X_all, slot0map, pix_e.astype(np.int32), extmap, cnt_all
 
 
+def slot_dedup_padded_inputs(uv: np.ndarray, onehot: np.ndarray, arch_cfg=None) -> dict:
+    """slot_dedup_inputs + kernel-tile padding (host, setup-time): the
+    device-ready dict the single-chip dedup step consumes.
+
+    The column axis K = HW + E is padded once to the backward kernel's grid
+    tile (SUB * n_streams) so the per-step XLA pad fusions disappear, and
+    slot0map gains a padded copy [B, Kp] whose zero columns make the
+    in-kernel segment reduction exact on the extras/padding region (see
+    fused_mask_backward_dedup). Padding must happen at setup: X is constant
+    (frozen view embedding), and the round-4 trace showed the per-step
+    [56, K] pad costing ~14 us/step.
+    """
+    X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(uv, onehot)
+    B, HW = slot0map.shape
+    K = X_all.shape[1]
+    ns = _n_streams(arch_cfg)
+    subt = SUB * ns
+    Kp = -(-max(K, subt) // subt) * subt
+    return {
+        "mask_Xall": np.pad(X_all, ((0, 0), (0, Kp - K))),
+        "mask_cntall": np.pad(cnt_all, ((0, 0), (0, Kp - K))),
+        "mask_slot0map": slot0map,
+        "mask_slot0map_p": np.pad(slot0map, ((0, 0), (0, Kp - HW))).astype(np.float32),
+        "mask_ext_pix": ext_pix,
+        "mask_extmap": extmap,
+    }
+
+
 def slot_dedup_sharded_inputs(uv: np.ndarray, onehot: np.ndarray, n_devices: int):
     """Per-device dedup structures for the shard_map mesh pipeline
     (parallel/shard_fused.py `_make_implicit_dedup_sharded_chunk`).
@@ -762,4 +790,150 @@ def fused_mask_backward_g(
             "b": db.reshape(n_heads, rp)[:, :o],
         }
         for dw, db, i, o, rp in zip(dws, dbs, in_dims, out_dims, rps)
+    ]
+
+
+def _mask_bwd_dedup_kernel(n_mask, T, n_streams, has_esq, cdtype, scalars_ref, x_ref, s0m_ref, sqb_ref, *rest):
+    """Kernel B grid step, dedup-fold variant (shared head): the slot0
+    segment-sum happens IN-KERNEL — Ssq over a column's duplicate positions
+    is sum_b slot0map[b, col] * sq[b, col] (slot0 aligns columns with
+    pixels), loaded as [B, subt] blocks and reduced over sublanes — and the
+    column cotangent is
+
+        g = (a*Ssq_red + b*Sesq_red + base) * m + k*cnt
+
+    where base = a*Ssq_tail + b*Sesq_tail + c*cnt is precomputed in XLA
+    ([1, Kp] elementwise): the tails carry the E extras columns' segment
+    sums (E-sized XLA gathers), which occupy [HW, HW+E) where the padded
+    sq/esq rows are zero, so reduce + base is exact on every region.
+    scalars_ref (SMEM [3]): [a, b, k]."""
+    esqb_ref = rest[0] if has_esq else None
+    base_ref, cnt_ref, *refs = rest[1 if has_esq else 0 :]
+    mwt = refs[:n_mask]  # [out, in] (forward)
+    mw = refs[n_mask : 2 * n_mask]  # [in, out] (backward dh)
+    mb = refs[2 * n_mask : 3 * n_mask]
+    out_dw = refs[3 * n_mask : 4 * n_mask]
+    out_db = refs[4 * n_mask : 5 * n_mask]
+    acc_dw = refs[5 * n_mask : 6 * n_mask]
+    acc_db = refs[6 * n_mask : 7 * n_mask]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for li in range(n_mask):
+            acc_dw[li][:] = jnp.zeros_like(acc_dw[li])
+            acc_db[li][:] = jnp.zeros_like(acc_db[li])
+
+    a_s = scalars_ref[0]
+    b_s = scalars_ref[1]
+    k_s = scalars_ref[2]
+
+    W = x_ref.shape[-1] // n_streams
+    for s in range(n_streams):
+        sl = slice(s * W, (s + 1) * W)
+        m, acts = _mask_fwd_tile(x_ref[:, sl], mwt, mb, n_mask, cdtype, keep_acts=True)
+        s0m = s0m_ref[:, sl]
+        seg = a_s * jnp.sum(s0m * sqb_ref[:, sl], axis=0, keepdims=True) + base_ref[:, sl]
+        if has_esq:
+            seg += b_s * jnp.sum(s0m * esqb_ref[:, sl], axis=0, keepdims=True)
+        gcot = seg * m + k_s * cnt_ref[:, sl]
+        d = (gcot * m * (1.0 - m)).astype(cdtype)
+
+        for li in range(n_mask - 1, -1, -1):
+            a = acts[li]
+            acc_dw[li][:] += mxu_dot(d, a, (((1,), (1,)), ((), ())))
+            acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
+            if li > 0:
+                da = mxu_dot(mw[li][:], d, (((1,), (0,)), ((), ())))
+                d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
+
+    @pl.when(i == T - 1)
+    def _writeout():
+        for li in range(n_mask):
+            out_dw[li][:] = acc_dw[li][:]
+            out_db[li][:] = acc_db[li][:]
+
+
+def fused_mask_backward_dedup(
+    mask_stack, x_p, s0map_p, sqb_p, esqb_p, base, cnt_p, abk,
+    compute_dtype="float32", n_streams=0,
+):
+    """Mask-head backward with the slot0 segment-sum folded in-kernel
+    (kernel B, dedup pipeline, shared head only).
+
+    Replaces the XLA stage Ssq/Sesq = segment_sum -> concat -> pad that the
+    round-4 trace measured at ~55 us/step of fragmented fusions
+    (multiply_reduce 25, concat 16, pads 14): the kernel reads the
+    per-position streams in per-image layout and reduces them over the
+    B sublanes next to the MXU recompute it already does.
+
+    Args:
+      mask_stack: SINGLE effective layer stack (mask_w_stack), not batched.
+      x_p: [X_ROWS, Kp] factored unique columns, pre-padded to the grid
+        tile (slot_dedup_padded_inputs).
+      s0map_p: [B, Kp] slot0 indicator, zero on the extras/pad columns.
+      sqb_p: [B, Kp] per-position rgb squared error in per-image layout,
+        zero-padded past HW.
+      esqb_p: [B, Kp] per-position edge squared error, or None (no edges).
+      base: [1, Kp] precomputed a*Ssq_tail + b*Sesq_tail + c*cnt (the
+        extras columns' E-sized segment sums live in the tails).
+      cnt_p: [1, Kp] duplicate counts (zero on padding).
+      abk: [3] f32 — (a, b, k) of dL/dm = (a*Ssq + b*Sesq + c*cnt)*m + k*cnt.
+      n_streams: independent column streams per grid step; 0 = module default.
+
+    Returns the effective gradient list [{w [in, out], b [out]} ...]
+    (pass through `unfactor_mask_grads`).
+    """
+    n_mask = len(mask_stack)
+    cdtype = jnp.dtype(compute_dtype)
+    Kp = x_p.shape[1]
+    ns = int(n_streams) or _n_streams()
+    subt = SUB * ns
+    assert Kp % subt == 0, (
+        f"dedup inputs padded to {Kp} columns but the kernel tile is {subt} "
+        "(SUB*n_streams) — rebuild them with slot_dedup_padded_inputs under "
+        "the same MARF_FUSED_SUB/streams settings"
+    )
+    T = Kp // subt
+    has_esq = esqb_p is not None
+
+    wts = [l["w"].T.astype(cdtype) for l in mask_stack]  # [out, in]
+    ws = [l["w"].astype(cdtype) for l in mask_stack]  # [in, out]
+    bs = [l["b"].reshape(-1, 1).astype(jnp.float32) for l in mask_stack]
+
+    col = lambda c: pl.BlockSpec((c, subt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_mask_bwd_dedup_kernel, n_mask, T, ns, has_esq, cdtype)
+    esq_in = (esqb_p,) if has_esq else ()
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [3]
+            col(x_p.shape[0]),
+            col(s0map_p.shape[0]),
+            col(sqb_p.shape[0]),
+            *( [col(esqb_p.shape[0])] if has_esq else [] ),
+            col(1),  # base
+            col(1),  # cnt
+            *[whole() for _ in range(3 * n_mask)],
+        ],
+        out_specs=[whole() for _ in range(2 * n_mask)],
+        out_shape=(
+            [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in wts]
+            + [jax.ShapeDtypeStruct((b.shape[0], 1), jnp.float32) for b in bs]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM(wt.shape, jnp.float32) for wt in wts]
+            + [pltpu.VMEM((b.shape[0], 1), jnp.float32) for b in bs]
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(jnp.asarray(abk, jnp.float32), x_p, s0map_p, sqb_p, *esq_in, base, cnt_p, *wts, *ws, *bs)
+    dws = outs[:n_mask]  # [out, in]
+    dbs = outs[n_mask:]  # [out, 1]
+    return [
+        {"w": dw.T, "b": db.reshape(-1)} for dw, db in zip(dws, dbs)
     ]

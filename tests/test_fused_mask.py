@@ -235,7 +235,7 @@ def test_fused_implicit_dedup_matches_autodiff(rng, use_edges):
     """The slot0+extras dedup pipeline (mask kernels on unique (pixel,
     combo) columns, dense scatter/segment-sum mapping) equals the autodiff
     path exactly."""
-    from marf_tpu.ops.pallas.fused_mask import slot_dedup_inputs
+    from marf_tpu.ops.pallas.fused_mask import slot_dedup_padded_inputs
 
     off, on = cfg_pair(use_edges=use_edges, alpha_initial=0.3)
     data = implicit_data(off, rng)
@@ -244,22 +244,18 @@ def test_fused_implicit_dedup_matches_autodiff(rng, use_edges):
     params = init_graph_params(jax.random.PRNGKey(0), off)
     grid = normalized_pixel_grid(off.grid_spec, crop=off.use_cropped_images)
     uv, onehot, table = factor_mask_inputs(params["view_embedding"], data["rgb"], grid)
-    X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(
-        np.asarray(uv), np.asarray(onehot)
-    )
+    dd = slot_dedup_padded_inputs(np.asarray(uv), np.asarray(onehot), off.arch)
     N = off.batch_size * grid.shape[0]
     HW = grid.shape[0]
-    assert X_all.shape[1] == HW + ext_pix.shape[0] < N  # must actually dedup
-    assert ext_pix.shape[0] > 0  # the saturated mix must exercise extras
-    assert int(cnt_all.sum()) == N
+    E = dd["mask_ext_pix"].shape[0]
+    assert HW + E < N  # must actually dedup
+    assert E > 0  # the saturated mix must exercise extras
+    assert int(dd["mask_cntall"].sum()) == N
+    assert dd["mask_Xall"].shape[1] >= HW + E  # pre-padded to the kernel tile
     ddata = dict(
         data,
         mask_table=jnp.asarray(table),
-        mask_Xall=jnp.asarray(X_all),
-        mask_slot0map=jnp.asarray(slot0map),
-        mask_ext_pix=jnp.asarray(ext_pix),
-        mask_extmap=jnp.asarray(extmap),
-        mask_cntall=jnp.asarray(cnt_all),
+        **{k: jnp.asarray(v) for k, v in dd.items()},
     )
     s_off, m_off = run_steps(off, data)
     s_on, m_on = run_steps(on, ddata)
