@@ -164,6 +164,47 @@ def _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype):
     return None
 
 
+def _stack_fwd_multi(encs, wt_refs, b_refs, n_layers, cdtype):
+    """Multi-stream cf forward: per LAYER, all streams' matmuls issue
+    back-to-back before any stream's relu/sigmoid — the explicit
+    interleaving lets stream s+1's MXU dot run under stream s's VPU
+    elementwise phase (the round-3/4 streams knob relied on Mosaic finding
+    this overlap across whole-chain program order, and measured flat).
+    Per-stream arithmetic is identical to _stack_fwd — only instruction
+    order changes. Returns acts[layer][stream]."""
+    hs = [e.astype(cdtype) for e in encs]
+    acts = [hs]
+    for li in range(n_layers):
+        zs = [
+            mxu_dot(wt_refs[li][:], h, (((1,), (0,)), ((), ()))) + b_refs[li][:]
+            for h in hs
+        ]
+        if li != n_layers - 1:
+            hs = [jax.nn.relu(z).astype(cdtype) for z in zs]
+        else:
+            hs = [jax.nn.sigmoid(z) for z in zs]  # f32 rgb [3, W]
+        acts.append(hs)
+    return acts
+
+
+def _stack_bwd_multi(ds, acts, w_refs, acc_dw, acc_db, n_layers, cdtype):
+    """Multi-stream cf backward, layer-phased like _stack_fwd_multi. The
+    per-accumulator add order (stream 0 then 1 ...) matches the sequential
+    stream loop exactly, so acc_dw/acc_db stay bit-identical. Returns
+    dencs (one cotangent per stream)."""
+    for li in range(n_layers - 1, -1, -1):
+        a_s = acts[li]
+        for d, a in zip(ds, a_s):
+            acc_dw[li][:] += mxu_dot(d, a, (((1,), (1,)), ((), ())))
+            acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
+        das = [mxu_dot(w_refs[li][:], d, (((1,), (0,)), ((), ()))) for d in ds]
+        if li > 0:
+            ds = [(da * (a.astype(jnp.float32) > 0.0)).astype(cdtype) for da, a in zip(das, a_s)]
+        else:
+            return das
+    return None
+
+
 def _kernel(n_layers, L, n_streams, cdtype, scalars_ref, coords_ref, cw_ref, tgt_ref, msk_ref, *refs):
     """One grid step: posenc -> MLP fwd -> loss partials -> full bwd, cf,
     over `n_streams` independent SUB-lane column streams (see NSTREAMS).
@@ -198,16 +239,14 @@ def _kernel(n_layers, L, n_streams, cdtype, scalars_ref, coords_ref, cw_ref, tgt
     lscale = scalars_ref[1]
 
     W = coords_ref.shape[-1] // n_streams
-    for s in range(n_streams):
-        sl = slice(s * W, (s + 1) * W)
-        x = coords_ref[0:1, sl]  # [1, SUB]
-        y = coords_ref[1:2, sl]
-        enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
+    sls = [slice(s * W, (s + 1) * W) for s in range(n_streams)]
+    pes = [_posenc_fwd(coords_ref[0:1, sl], coords_ref[1:2, sl], L, cw_ref) for sl in sls]
+    acts = _stack_fwd_multi([enc for enc, _ in pes], wt_refs, b_refs, n_layers, cdtype)
 
-        acts = _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype)
-
-        # ---- loss partials + output cotangent
-        rgb = acts[n_layers]
+    # ---- loss partials + output cotangent (per stream)
+    ds = []
+    for s, sl in enumerate(sls):
+        rgb = acts[n_layers][s]
         rgb_ref[:, sl] = rgb
         msk = msk_ref[:, sl]
         diff = rgb - tgt_ref[:, sl]
@@ -215,10 +254,11 @@ def _kernel(n_layers, L, n_streams, cdtype, scalars_ref, coords_ref, cw_ref, tgt
         diff_m = diff * msk
         loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
         d_out = dscale * diff_m * msk
-        d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)  # chain through sigmoid
+        ds.append((d_out * rgb * (1.0 - rgb)).astype(cdtype))  # chain through sigmoid
 
-        denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
-        dx, dy = _posenc_vjp(denc, L, pe_state)
+    dencs = _stack_bwd_multi(ds, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
+    for s, sl in enumerate(sls):
+        dx, dy = _posenc_vjp(dencs[s], L, pes[s][1])
         dcoords_ref[:, sl] = jnp.concatenate([dx, dy], axis=0)
 
     @pl.when(step == pl.num_programs(0) - 1)
@@ -268,24 +308,30 @@ def _kernel_warp(n_layers, L, n_streams, cdtype, scalars_ref, grid_ref, hrows_re
     lscale = scalars_ref[1]
 
     W = grid_ref.shape[-1] // n_streams
-    for s in range(n_streams):
-        sl = slice(s * W, (s + 1) * W)
-        # ---- in-kernel warp: one-hot the image index, gather H columns, apply
+    sls = [slice(s * W, (s + 1) * W) for s in range(n_streams)]
+    PB = acc_dh.shape[1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (PB, 1), 0).astype(jnp.float32)
+
+    # ---- in-kernel warp per stream: one-hot the image index, gather H
+    # columns, apply (the one-hot dots issue back-to-back on the MXU)
+    warps = []
+    for sl in sls:
         u = grid_ref[0:1, sl]  # [1, SUB]
         v = grid_ref[1:2, sl]
         bidx = grid_ref[2:3, sl]
-        PB = acc_dh.shape[1]
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (PB, 1), 0).astype(jnp.float32)
         bo = (bidx == iota_b).astype(jnp.float32)  # [PB, SUB]
         hc = mxu_dot(hrows_ref[:], bo, (((1,), (0,)), ((), ())))  # [16, SUB]; rows 0-8 = per-column H entries
         rden = 1.0 / (hc[8:9, :] * 1.0 + hc[6:7, :] * u + hc[7:8, :] * v + np.float32(1e-8))
         x = (hc[0:1, :] * u + hc[1:2, :] * v + hc[2:3, :]) * rden
         y = (hc[3:4, :] * u + hc[4:5, :] * v + hc[5:6, :]) * rden
+        warps.append((u, v, bo, rden, x, y))
 
-        enc, pe_state = _posenc_fwd(x, y, L, cw_ref)
-        acts = _stack_fwd(enc, wt_refs, b_refs, n_layers, cdtype)
+    pes = [_posenc_fwd(x, y, L, cw_ref) for (_, _, _, _, x, y) in warps]
+    acts = _stack_fwd_multi([enc for enc, _ in pes], wt_refs, b_refs, n_layers, cdtype)
 
-        rgb = acts[n_layers]
+    ds = []
+    for s, sl in enumerate(sls):
+        rgb = acts[n_layers][s]
         rgb_ref[:, sl] = rgb
         msk = msk_ref[:, sl]
         diff = rgb - tgt_ref[:, sl]
@@ -293,11 +339,12 @@ def _kernel_warp(n_layers, L, n_streams, cdtype, scalars_ref, grid_ref, hrows_re
         diff_m = diff * msk
         loss_acc[0] += jnp.sum(diff_m * diff_m) * lscale
         d_out = dscale * diff_m * msk
-        d = (d_out * rgb * (1.0 - rgb)).astype(cdtype)
+        ds.append((d_out * rgb * (1.0 - rgb)).astype(cdtype))
 
-        denc = _stack_bwd(d, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
-        dx, dy = _posenc_vjp(denc, L, pe_state)
+    dencs = _stack_bwd_multi(ds, acts, w_refs, acc_dw, acc_db, n_layers, cdtype)
 
+    for s, (u, v, bo, rden, x, y) in enumerate(warps):
+        dx, dy = _posenc_vjp(dencs[s], L, pes[s][1])
         # ---- warp VJP: x = xh * rden, y = yh * rden, rden = 1/(wden + eps)
         # => dxh = dx*rden, dwden = -(dx*x + dy*y)*rden; dH rows via segment-
         # sum over the one-hot (a [16, SUB] x [SUB, PB] MXU contraction)
