@@ -302,12 +302,19 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             else None
         )
 
-        targets_cf = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
-        if cfg.use_masks and data.get("masks") is not None:
-            masks_cf = data["masks"].transpose(1, 0, 2, 3).reshape(1, N)
-        else:
-            masks_cf = jnp.ones((1, N), dtype=jnp.float32)
-        inv_sum3 = 1.0 / (jnp.sum(masks_cf) * 3.0)
+        # pre-padded constant streams when the engine staged them at setup
+        # (trainer._build_compiled; fused_step.fused_cols) — XLA does not
+        # hoist the equivalent per-step transpose/tile/pad out of the scan
+        targets_cf = data.get("targets_cf_p")
+        if targets_cf is None:
+            targets_cf = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
+        masks_cf = data.get("masks_cf_p")
+        if masks_cf is None:
+            if cfg.use_masks and data.get("masks") is not None:
+                masks_cf = data["masks"].transpose(1, 0, 2, 3).reshape(1, N)
+            else:
+                masks_cf = jnp.ones((1, N), dtype=jnp.float32)
+        inv_sum3 = 1.0 / (jnp.sum(masks_cf) * 3.0)  # padding is zero-mask
 
         from marf_tpu.ops.pallas.fused_step import PB
 
@@ -315,21 +322,17 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             # v5: warp + its VJP in-kernel — only the tiny 3x3 expm (and its
             # VJP) stay in XLA; the per-point HBM streams shrink to the
             # constant (u, v, b) grid + targets/masks
-            from marf_tpu.ops.pallas.fused_step import fused_train_kernel_warp
+            from marf_tpu.ops.pallas.fused_step import build_grid_b, fused_train_kernel_warp
 
-            uv = grid.T  # [2, HW] constant
-            grid_b = jnp.concatenate(
-                [
-                    jnp.tile(uv, (1, B)),
-                    jnp.repeat(jnp.arange(B, dtype=jnp.float32), uv.shape[1])[None, :],
-                ],
-                axis=0,
-            )  # [3, N] constant — folded by XLA
+            grid_b = data.get("grid_b_p")
+            if grid_b is None:
+                grid_b = build_grid_b(grid, B)  # [3, N] constant
             H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
             rgb_cf, rgb_loss, dmlp, dH, _sq = fused_train_kernel_warp(
                 params["neural_image"], grid_b, H, cw, targets_cf, masks_cf,
                 g_loss_scale, inv_sum3, cfg.arch,
             )
+            rgb_cf = rgb_cf[:, :N]  # pre-padded inputs -> padded outputs
             dwarp = expm_vjp(dH)[0]
         else:
             # v4: warp in XLA (tiny [B,8] chain), EVERYTHING else channels-
@@ -606,23 +609,21 @@ def make_train_step(cfg: PlanarConfig, tx: optax.GradientTransformation, use_hom
             if (cfg.arch.posenc_L and cfg.arch.barf_c2f is not None)
             else None
         )
-        targets_cf = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
+        targets_cf = data.get("targets_cf_p")
+        if targets_cf is None:
+            targets_cf = data["rgb"].transpose(1, 0, 2, 3).reshape(3, N)
         if cfg.fused_warp != "off" and B <= PB:
-            from marf_tpu.ops.pallas.fused_step import fused_train_kernel_warp
+            from marf_tpu.ops.pallas.fused_step import build_grid_b, fused_train_kernel_warp
 
-            uv = grid.T  # [2, HW] constant
-            grid_b = jnp.concatenate(
-                [
-                    jnp.tile(uv, (1, B)),
-                    jnp.repeat(jnp.arange(B, dtype=jnp.float32), uv.shape[1])[None, :],
-                ],
-                axis=0,
-            )  # [3, N] constant
+            grid_b = data.get("grid_b_p")
+            if grid_b is None:
+                grid_b = build_grid_b(grid, B)  # [3, N] constant
             H, expm_vjp = jax.vjp(sl3_to_SL3, params["warp"])
             rgb_cf, rgb_loss, dmlp, dH, sq = fused_train_kernel_warp(
                 params["neural_image"], grid_b, H, cw, targets_cf, m_flat,
                 C_r, inv_sum3, cfg.arch,
             )
+            rgb_cf, sq = rgb_cf[:, :N], sq[:, :N]  # pre-padded -> padded outs
             dwarp = expm_vjp(dH)[0]
         else:
             coords_cf, warp_vjp = jax.vjp(

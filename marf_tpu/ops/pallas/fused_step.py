@@ -494,6 +494,37 @@ def fused_train_kernel(params, coords_cf, cw, targets_cf, masks_cf, g_loss_scale
 PB = 8  # padded image-index axis of the v5 kernel (B <= 8 images)
 
 
+def fused_cols(N: int, arch_cfg=None) -> int:
+    """Padded column count of the fused kernels' flat streams: N rounded up
+    to the grid tile (SUB * n_streams). Setup code uses this to pre-pad the
+    CONSTANT inputs (targets, masks, v5 grid) once — XLA does not hoist the
+    per-step transpose/tile/pad of loop-invariant operands out of the scan
+    (measured ~19 us/step on canonical, round-4 trace)."""
+    ns = _n_streams(arch_cfg)
+    subt = SUB * ns
+    return -(-max(N, subt) // subt) * subt
+
+
+def build_grid_b(grid: jax.Array, B: int, n_padded: int | None = None) -> jax.Array:
+    """The v5 kernel's constant (u, v, b) stream: [3, B*HW] from the
+    unwarped normalized [HW, 2] grid, optionally pre-padded to `n_padded`
+    columns with b = -1 (no one-hot match -> padding cannot touch dH; the
+    per-step zero mask already kept it inert, this keeps the docstring's
+    contract explicit)."""
+    uv = grid.T  # [2, HW]
+    gb = jnp.concatenate(
+        [
+            jnp.tile(uv, (1, B)),
+            jnp.repeat(jnp.arange(B, dtype=jnp.float32), uv.shape[1])[None, :],
+        ],
+        axis=0,
+    )
+    if n_padded is not None and n_padded != gb.shape[1]:
+        pad = jnp.zeros((3, n_padded - gb.shape[1]), dtype=jnp.float32)
+        gb = jnp.concatenate([gb, pad.at[2].set(-1.0)], axis=1)
+    return gb
+
+
 def fused_train_kernel_warp(params, grid_b_cf, H, cw, targets_cf, masks_cf, g_loss_scale, inv_sum3, arch_cfg):
     """v5: the fused kernel with the homography warp (and its VJP) in-kernel.
 

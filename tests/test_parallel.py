@@ -248,7 +248,7 @@ def test_fused_implicit_dedup_shardmap_matches_single_device(rng, use_edges):
     column-sharded mask kernels + dense per-device slot0 expansion/segment
     sums + Eloc-sized extras must equal the single-device dedup step."""
     from marf_tpu.ops.grid import normalized_pixel_grid
-    from marf_tpu.ops.pallas.fused_mask import factor_mask_inputs, slot_dedup_inputs
+    from marf_tpu.ops.pallas.fused_mask import factor_mask_inputs, slot_dedup_padded_inputs
     from marf_tpu.parallel.shard_fused import fused_shardable, make_fused_sharded_setup
 
     cfg = mesh_cfg(
@@ -274,18 +274,12 @@ def test_fused_implicit_dedup_shardmap_matches_single_device(rng, use_edges):
     # single device, dedup arrays precomputed (engine/trainer layout)
     grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
     uv, onehot, table = factor_mask_inputs(params["view_embedding"], raw["rgb"], grid)
-    X_all, slot0map, ext_pix, extmap, cnt_all = slot_dedup_inputs(
-        np.asarray(uv), np.asarray(onehot)
-    )
-    assert extmap.sum() > 0  # the random data must exercise the extras path
+    dd = slot_dedup_padded_inputs(np.asarray(uv), np.asarray(onehot), cfg.arch)
+    assert dd["mask_extmap"].sum() > 0  # the random data must exercise the extras path
     ddata = dict(
         raw,
         mask_table=jnp.asarray(table),
-        mask_Xall=jnp.asarray(X_all),
-        mask_slot0map=jnp.asarray(slot0map),
-        mask_ext_pix=jnp.asarray(ext_pix),
-        mask_extmap=jnp.asarray(extmap),
-        mask_cntall=jnp.asarray(cnt_all),
+        **{k: jnp.asarray(v) for k, v in dd.items()},
     )
     state1 = init_train_state(params, tx)
     chunk1 = make_train_chunk(make_train_step(cfg, tx), 2, donate=False)
