@@ -207,6 +207,40 @@ def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainSta
     return TrainState(step=jnp.zeros((), dtype=jnp.int32), params=params, opt_state=tx.init(params))
 
 
+def stage_fused_constant_streams(cfg: PlanarConfig, data: dict) -> dict:
+    """Pre-transpose/pad the fused kernels' loop-invariant input streams.
+
+    XLA does not hoist the per-step transpose/tile/pad of loop-invariant
+    operands out of the scan (~19 us/step on canonical, round-4 trace), so
+    the engine stages them ONCE at setup as device-resident pre-padded
+    arrays. Returns the staged keys — `targets_cf_p` [3, Np] always,
+    `masks_cf_p` [1, Np] for fixed-mask configs (the implicit pipelines
+    mask by the predicted m, which is dynamic), and `grid_b_p` [3, Np]
+    (b = -1 in the padding, per the v5 kernel contract) when the in-kernel
+    warp applies. The train step falls back to building the identical
+    values in-graph when the keys are absent (hand-built test data);
+    tests/test_fused_step.py asserts the two paths match.
+    """
+    from marf_tpu.ops.grid import normalized_pixel_grid
+    from marf_tpu.ops.pallas.fused_step import PB, build_grid_b, fused_cols
+
+    h, w = cfg.map_hw
+    N = cfg.batch_size * h * w
+    Np = fused_cols(N, cfg.arch)
+    pad_p = lambda a: jnp.pad(a, ((0, 0), (0, Np - N)))
+    staged = {"targets_cf_p": pad_p(data["rgb"].transpose(1, 0, 2, 3).reshape(3, N))}
+    if not cfg.use_implicit_mask:
+        if cfg.use_masks and data.get("masks") is not None:
+            masks_cf = data["masks"].transpose(1, 0, 2, 3).reshape(1, N)
+        else:
+            masks_cf = jnp.ones((1, N), dtype=jnp.float32)
+        staged["masks_cf_p"] = pad_p(masks_cf)
+    if cfg.fused_warp != "off" and cfg.batch_size <= PB:
+        grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
+        staged["grid_b_p"] = build_grid_b(grid, cfg.batch_size, Np)
+    return staged
+
+
 def implicit_loss_coeffs(cfg: PlanarConfig, alpha):
     """Loss-term coefficients for the implicit-mask pipelines:
     total = sum_k 10^w_k * loss_k with render = (1-alpha)*rgb + 0.5*mask +

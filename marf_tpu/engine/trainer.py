@@ -263,37 +263,18 @@ class Model:
 
         cfg = self.cfg
         if (
-            use_fused_step(cfg)
+            (use_fused_step(cfg) or use_fused_implicit(cfg))
             and self.mesh is None
             and "targets_cf_p" not in self.data
-            and (not cfg.use_implicit_mask or use_fused_implicit(cfg))
         ):
             # the fused kernels' constant flat streams, transposed + padded
-            # ONCE: XLA does not hoist the equivalent per-step transpose/
-            # tile/pad of loop-invariant operands out of the scan (~19
-            # us/step on canonical, round-4 trace). The mesh path flattens
-            # its own sharded streams (parallel/shard_fused.py FLAT_KEYS).
-            from marf_tpu.ops.pallas.fused_step import PB, build_grid_b, fused_cols
+            # ONCE (engine/step.py stage_fused_constant_streams). The mesh
+            # path flattens its own sharded streams (parallel/shard_fused.py
+            # FLAT_KEYS).
+            from marf_tpu.engine.step import stage_fused_constant_streams
 
-            h, w = cfg.map_hw
-            N = cfg.batch_size * h * w
-            Np = fused_cols(N, cfg.arch)
-            pad_p = lambda a: jnp.pad(a, ((0, 0), (0, Np - N)))
-            self.data["targets_cf_p"] = jax.device_put(
-                pad_p(self.data["rgb"].transpose(1, 0, 2, 3).reshape(3, N))
-            )
-            if not cfg.use_implicit_mask:
-                # the implicit pipelines mask by the predicted m (dynamic)
-                if cfg.use_masks and self.data.get("masks") is not None:
-                    masks_cf = self.data["masks"].transpose(1, 0, 2, 3).reshape(1, N)
-                else:
-                    masks_cf = jnp.ones((1, N), dtype=jnp.float32)
-                self.data["masks_cf_p"] = jax.device_put(pad_p(masks_cf))
-            if cfg.fused_warp != "off" and cfg.batch_size <= PB:
-                grid = normalized_pixel_grid(cfg.grid_spec, crop=cfg.use_cropped_images)
-                self.data["grid_b_p"] = jax.device_put(
-                    build_grid_b(grid, cfg.batch_size, Np)
-                )
+            for k, v in stage_fused_constant_streams(cfg, self.data).items():
+                self.data[k] = jax.device_put(v)
         if (
             cfg.use_implicit_mask
             and not cfg.train_view_embedding

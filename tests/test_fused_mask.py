@@ -483,3 +483,28 @@ def test_fused_implicit_bfloat16(rng):
     )
     assert abs(float(np.asarray(m16["PSNR"])[-1]) - float(np.asarray(m32["PSNR"])[-1])) < 1.0
     assert np.isfinite(np.asarray(s16.params["implicit_mask"]["mlp"][0]["w"])).all()
+
+
+def test_fused_implicit_staged_constant_streams(rng):
+    """engine/step.py stage_fused_constant_streams on the implicit pipeline:
+    targets_cf_p + grid_b_p staged (masks are the dynamic predicted m — no
+    masks_cf_p) and the trajectory is identical to the in-graph fallback."""
+    from marf_tpu.engine.step import stage_fused_constant_streams
+
+    _, on = cfg_pair(use_edges=True, alpha_initial=0.3)
+    data = implicit_data(on, rng)
+    staged = stage_fused_constant_streams(on, data)
+    assert set(staged) == {"targets_cf_p", "grid_b_p"}
+    s_fb, m_fb = run_steps(on, data)
+    s_st, m_st = run_steps(on, dict(data, **staged))
+    for key in ("all", "loss_rgb", "loss_mask", "loss_edge", "PSNR"):
+        np.testing.assert_array_equal(
+            np.asarray(m_st[key]), np.asarray(m_fb[key]), err_msg=key
+        )
+    np.testing.assert_array_equal(
+        np.asarray(s_st.params["warp"]), np.asarray(s_fb.params["warp"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_st.params["implicit_mask"]["mlp"][0]["w"]),
+        np.asarray(s_fb.params["implicit_mask"]["mlp"][0]["w"]),
+    )

@@ -246,3 +246,49 @@ def test_lazy_metrics_matches_eager(rng):
         np.asarray(m_l["loss_rgb"]), np.asarray(m_e["loss_rgb"]), rtol=1e-5, atol=1e-7
     )
     assert np.asarray(m_l["finite"]).all()
+
+
+@pytest.mark.parametrize("fused_warp", ["off", "on"])
+def test_staged_constant_streams_match_fallback(rng, fused_warp):
+    """engine/step.py stage_fused_constant_streams: the setup-staged
+    pre-padded constant streams (targets_cf_p / masks_cf_p / grid_b_p) must
+    produce the same trajectory as the in-graph fallback build — they are
+    the same values, staged once instead of rebuilt per step."""
+    from marf_tpu.engine.step import stage_fused_constant_streams
+
+    _, on = cfg_pair(fused_warp=fused_warp, use_masks=True, use_edges=True)
+    data = fake_data(on, rng)
+    staged_keys = stage_fused_constant_streams(on, data)
+    assert set(staged_keys) == (
+        {"targets_cf_p", "masks_cf_p", "grid_b_p"}
+        if fused_warp == "on"
+        else {"targets_cf_p", "masks_cf_p"}
+    )
+    from marf_tpu.ops.pallas.fused_step import fused_cols
+
+    h, w = on.map_hw
+    N = on.batch_size * h * w
+    Np = fused_cols(N, on.arch)
+    for k, v in staged_keys.items():
+        assert v.shape[1] == Np, k
+        if k != "grid_b_p":
+            assert np.all(np.asarray(v)[:, N:] == 0.0), f"{k} pad not zero"
+    if fused_warp == "on":
+        # v5 contract: padding columns carry b = -1 (no one-hot match)
+        assert np.all(np.asarray(staged_keys["grid_b_p"])[2, N:] == -1.0)
+
+    s_fb, m_fb = run_steps(on, data)
+    s_st, m_st = run_steps(on, dict(data, **staged_keys))
+    for key in ("all", "loss_rgb", "loss_edge", "PSNR"):
+        np.testing.assert_array_equal(
+            np.asarray(m_st[key]), np.asarray(m_fb[key]), err_msg=key
+        )
+    np.testing.assert_array_equal(
+        np.asarray(s_st.params["warp"]), np.asarray(s_fb.params["warp"])
+    )
+    for li in range(len(on.arch.layer_dims)):
+        np.testing.assert_array_equal(
+            np.asarray(s_st.params["neural_image"]["mlp"][li]["w"]),
+            np.asarray(s_fb.params["neural_image"]["mlp"][li]["w"]),
+            err_msg=f"layer {li} weights",
+        )

@@ -187,3 +187,30 @@ def test_no_posenc_ablation(tmp_path):
     opt.arch.posenc = False
     m = run_lifecycle(opt)
     assert m.cfg.arch.posenc_L is None
+
+
+def test_fused_lifecycle_stages_constant_streams(tmp_path):
+    """tpu.fused_step=on through the full trainer: _build_compiled stages
+    the pre-padded constant streams (engine/step.py
+    stage_fused_constant_streams) and the run trains to completion on them
+    (interpret mode on CPU). Step-level staged-vs-fallback equality lives in
+    test_fused_step.py; this covers the trainer wiring."""
+    opt = make_opt(
+        tmp_path, H=48, W=64, patch_H=24, patch_W=32, max_iter=8,
+        batch_size=2, freq=AttrDict(scalar=4, vis=8, ckpt=None),
+    )
+    opt.tpu.fused_step = "on"
+    opt.tpu.fused_warp = "on"
+    m = run_lifecycle(opt)
+    assert m.it == 8
+    for key in ("targets_cf_p", "masks_cf_p", "grid_b_p"):
+        assert key in m.data, key
+    from marf_tpu.ops.pallas.fused_step import fused_cols
+
+    h, w = m.cfg.map_hw
+    np_cols = fused_cols(2 * h * w, m.cfg.arch)
+    assert m.data["targets_cf_p"].shape == (3, np_cols)
+    assert m.data["grid_b_p"].shape == (3, np_cols)
+    assert np.isfinite(np.asarray(m.state.params["warp"])).all()
+    for layer in m.state.params["neural_image"]["mlp"]:
+        assert np.isfinite(np.asarray(layer["w"])).all()
