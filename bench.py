@@ -172,13 +172,21 @@ def probe_backend():
     under a timeout and, on failure, print one parseable JSON error line.
     MARF_BENCH_PROBE=0 skips it (for back-to-back runs in a known-good
     tunnel window, e.g. tools/tpu_sweep.sh after the watcher's own probe).
+
+    The probe must EXECUTE a computation, not just enumerate devices: a
+    wedged chip (observed round-4c, after a timeout SIGTERM'd a profiling
+    run mid-flight) keeps answering jax.devices() for >35 min while every
+    compile/execute hangs — an enumeration-only probe passes that state and
+    bench then hangs unparseably inside the real build anyway.
     """
     if os.environ.get("MARF_BENCH_PROBE", "1") == "0":
         return
     if _cpu_only():
         return  # CPU-first config: no tunnel involved; skip the second jax import
     timeout_s = float(os.environ.get("MARF_BENCH_PROBE_TIMEOUT", 90))
-    code = "import jax; print(jax.devices()[0])"
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128))); "
+            "print(jax.devices()[0])")
     proc = subprocess.Popen(
         [sys.executable, "-c", code],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -200,7 +208,7 @@ def probe_backend():
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.communicate()
-        detail = [f"jax.devices() hung > {timeout_s:.0f}s"]
+        detail = [f"device enumerate+execute probe hung > {timeout_s:.0f}s"]
         reason = "backend_unavailable"
     print(json.dumps({
         "metric": "steps_per_sec",

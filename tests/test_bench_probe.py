@@ -114,6 +114,32 @@ def test_golden_record_json_serializable_with_numpy_psnr():
     assert bench.golden_record(float("nan"), g)[0] is False
 
 
+def test_probe_code_executes_an_op(monkeypatch):
+    """The probe subprocess must EXECUTE a computation, not just enumerate:
+    a wedged chip (round-4c, after a timeout SIGTERM'd a profiling run) keeps
+    answering jax.devices() while every execute hangs >35 min — an
+    enumeration-only probe passes that state and bench then hangs unparseably
+    inside the real build."""
+    captured = {}
+
+    class _FakeProc:
+        returncode = 0
+
+        def communicate(self, timeout=None):
+            return "TPU", ""
+
+    def fake_popen(args, **k):
+        captured["code"] = args[-1]
+        return _FakeProc()
+
+    monkeypatch.delenv("MARF_BENCH_PROBE", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    bench.probe_backend()
+    assert "block_until_ready" in captured["code"]
+    assert "@" in captured["code"]
+
+
 def test_probe_failure_emits_parseable_json(monkeypatch, capsys):
     """A probe that exits non-zero produces one JSON line + SystemExit(2)."""
     import json

@@ -26,7 +26,9 @@ cd "$(dirname "$0")/.."
 MAX_ATTEMPTS="${MARF_WATCH_MAX_ATTEMPTS:-6}"
 attempt=0
 while true; do
-  if [ ! -e /tmp/tpu_lock ] && timeout 60 python -c "import jax; jax.devices()" 2>/dev/null; then
+  # the probe EXECUTES a matmul: a wedged chip still enumerates devices while
+  # every execute hangs (bench.probe_backend docstring, round-4c)
+  if [ ! -e /tmp/tpu_lock ] && timeout 90 python -c "import jax, jax.numpy as jnp; jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))" 2>/dev/null; then
     attempt=$((attempt + 1))
     echo "TUNNEL BACK $(date -u) — sweep attempt $attempt/$MAX_ATTEMPTS" > /tmp/tpu_status
     touch /tmp/tpu_lock
