@@ -7,8 +7,10 @@ iterations). Prints ONE JSON line:
     {"metric": "steps_per_sec", "value": N, "unit": "steps/s",
      "vs_baseline": N / 30.0, "extra": {...}}
 
-`vs_baseline` divides by the pinned reference-on-GPU estimate of 30 it/s
-(see BASELINE_MEASURED.md; the >=10x north-star == vs_baseline >= 10).
+`vs_baseline` divides by the PER-CASE reference-on-GPU estimate
+(REF_BASELINE_STEPS_PER_SEC, derived in BASELINE_MEASURED.md from measured
+CPU-torch reference rates; the >=10x north-star == vs_baseline >= 10). The
+denominator used is echoed in extra.ref_baseline_steps_per_sec.
 The `extra` field carries the convergence metrics of the timed run (final
 PSNR / homography error) so perf is never reported off a diverging config.
 
@@ -51,7 +53,23 @@ import numpy as np
 
 import jax
 
-REF_STEPS_PER_SEC = 30.0  # BASELINE_MEASURED.md
+# Per-case reference baseline denominators (BASELINE_MEASURED.md). The
+# fixed-mask cases share the canonical ~30 it/s reference-on-GPU estimate;
+# the implicit-mask cases carry their own (smaller) estimates because the
+# reference's mask head multiplies the per-iteration work — and
+# build_single_masks runs the per-image heads on the HOST CPU even when the
+# model is on GPU (reference model/planar.py:340-352, `.cpu()` at :347) —
+# so dividing them by the canonical 30 would overstate the reference
+# (VERDICT r4 item 1: make every ratio workload-fair). Values are derived in
+# BASELINE_MEASURED.md from measured CPU-torch rates on this machine.
+REF_BASELINE_STEPS_PER_SEC = {
+    "canonical": 30.0,
+    "fullposenc": 30.0,
+    "edges_only": 30.0,
+    "noposenc": 30.0,
+    "implicit": 25.0,
+    "implicit_single": 3.0,
+}
 MAX_ITER = int(os.environ.get("MARF_BENCH_ITERS", 3000))
 CHUNK = 100
 WARMUP_CHUNKS = 1
@@ -274,7 +292,7 @@ def main():
         "iters_timed": n_timed,
         "final_psnr_db": round(final.get("PSNR", float("nan")), 3),
         "final_homography_error": round(final.get("Homography_Error", float("nan")), 5),
-        "ref_baseline_steps_per_sec": REF_STEPS_PER_SEC,
+        "ref_baseline_steps_per_sec": REF_BASELINE_STEPS_PER_SEC[CASE],
     }
     if "Mask_Error" in final:
         extra["final_mask_error"] = round(final["Mask_Error"], 5)
@@ -311,7 +329,7 @@ def main():
         "metric": "steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 3),
+        "vs_baseline": round(steps_per_sec / REF_BASELINE_STEPS_PER_SEC[CASE], 3),
         "extra": extra,
     }
     print(json.dumps(result))

@@ -212,6 +212,39 @@ def use_fused_implicit(cfg: PlanarConfig) -> bool:
 _HW_VALIDATION_FILE = os.path.join(os.path.dirname(__file__), "..", "hw_validation.json")
 
 
+def runtime_env() -> dict:
+    """The {jax, jaxlib, libtpu} versions the process is actually running —
+    the stamp recorded with every hardware validation / golden (VERDICT r4
+    weak-1: the dedup miscompiles this gate guards against were
+    jax/XLA-version-specific, so a validation is only evidence for the
+    versions it was measured under)."""
+    import jaxlib
+
+    env = {"jax": jax.__version__, "jaxlib": jaxlib.__version__}
+    try:
+        from importlib import metadata
+
+        env["libtpu"] = metadata.version("libtpu")
+    except Exception:  # non-TPU installs have no libtpu distribution
+        env["libtpu"] = None
+    return env
+
+
+def _env_matches(recorded: dict | None) -> bool:
+    if not isinstance(recorded, dict):
+        return False
+    cur = runtime_env()
+    for k in ("jax", "jaxlib", "libtpu"):
+        if recorded.get(k) is not None and recorded.get(k) != cur.get(k):
+            return False
+        if recorded.get(k) is None and k != "libtpu":
+            return False  # a record without jax/jaxlib versions is pre-stamp
+    return True
+
+
+_dedup_stale_warned = False
+
+
 def dedup_hw_validated() -> bool:
     """Whether fused_dedup='auto' may enable the column dedup on this backend.
 
@@ -230,7 +263,27 @@ def dedup_hw_validated() -> bool:
     try:
         with open(_HW_VALIDATION_FILE) as f:
             rec = json.load(f)
-        return bool(rec.get("fused_dedup", {}).get("validated", False))
+        entry = rec.get("fused_dedup", {})
+        if not entry.get("validated", False):
+            return False
+        if not _env_matches(entry.get("env")):
+            # A jax/jaxlib/libtpu bump silently inheriting a stale validation
+            # would defeat the gate (the miscompiles were version-specific) —
+            # fall back to the safe non-dedup path until one golden-checked
+            # tools/tpu_sweep.sh implicit600 run re-records the validation.
+            global _dedup_stale_warned
+            if not _dedup_stale_warned:
+                _dedup_stale_warned = True
+                import warnings
+
+                warnings.warn(
+                    "marf_tpu/hw_validation.json was recorded under "
+                    f"{entry.get('env')} but this process runs {runtime_env()}; "
+                    "fused_dedup='auto' stays OFF until revalidated "
+                    "(run tools/tpu_sweep.sh, or force with tpu.fused_dedup=on)."
+                )
+            return False
+        return True
     except (OSError, ValueError):
         return False
 

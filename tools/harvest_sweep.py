@@ -38,8 +38,31 @@ def load_rows(path):
             if not line:
                 continue
             rec = json.loads(line)
+            if "note" in rec:  # annotation rows (audit trail), not measurements
+                continue
             rows[rec["tag"]] = rec.get("r") if "r" in rec else rec
     return rows
+
+
+def runtime_env():
+    """{jax, jaxlib, libtpu, device} stamp for hardware evidence (VERDICT r4
+    weak-1): a validation/golden is only evidence for the versions it was
+    measured under — models/planar.dedup_hw_validated refuses a record whose
+    stamp differs from the running process."""
+    import jax
+    import jaxlib
+
+    env = {"jax": jax.__version__, "jaxlib": jaxlib.__version__}
+    try:
+        from importlib import metadata
+
+        env["libtpu"] = metadata.version("libtpu")
+    except Exception:
+        env["libtpu"] = None
+    # device comes from the sweep rows (bench extra.device), NOT jax.devices():
+    # importing jax is cheap but initializing the backend through a possibly
+    # just-died tunnel could hang the unattended watcher.
+    return env
 
 
 def val(rows, tag, *keys):
@@ -72,7 +95,11 @@ def main(argv):
             print(f"| {tag} | {'OK' if r['ok'] else 'FAILED'} | | | |")
             continue
         if not isinstance(r, dict) or r.get("error") or r.get("value") is None:
-            print(f"| {tag} | FAILED | | | |")
+            # aux/bench rows classify infra outages (timeout-killed / dead
+            # tunnel) as "error": true — distinct from a genuine failure
+            # (tripwire NaN = ok:false, golden miss = golden.ok:false)
+            label = "OUTAGE" if isinstance(r, dict) and r.get("error") else "FAILED"
+            print(f"| {tag} | {label} | | | |")
             continue
         g = (r.get("extra") or {}).get("golden")
         gtxt = ("held" if g["ok"] else f"FAILED d={g['delta']}") if g else "—"
@@ -95,6 +122,12 @@ def main(argv):
         ("implicit bf16+streams=2 (vs s2)", "implicit_s2_bf16", "implicit_s2"),
         ("lazy-edge win (canonical)", "canonical600", "canon_lazyoff"),
         ("lazy-metrics win (implicit)", "implicit600", "implicit_lazyoff"),
+        # round-5 sweep tags
+        ("implicit bf16", "implicit_bf16", "implicit600"),
+        ("canonical@3000 bf16", "canon3000_bf16", "canonical3000"),
+        ("mesh scaling (implicit_single)", "implicit_single_mesh", "implicit_s600"),
+        ("mesh scaling (implicit)", "implicit_mesh", "implicit600"),
+        ("mesh scaling (canonical)", "canonical_mesh", "canonical600"),
     ]
     for label, a, b in pairs:
         va, vb = sps(a), sps(b)
@@ -119,6 +152,8 @@ def main(argv):
         return 0
 
     if dedup_ok:
+        env = runtime_env()
+        env["device"] = imp.get("extra", {}).get("device")
         rec = {
             "fused_dedup": {
                 "validated": True,
@@ -128,14 +163,33 @@ def main(argv):
                     "psnr": imp.get("extra", {}).get("final_psnr_db"),
                     "golden": golden,
                 },
+                "env": env,
             }
         }
         with open(HW_VALIDATION, "w") as f:
             json.dump(rec, f, indent=2)
             f.write("\n")
-        print(f"wrote {HW_VALIDATION}")
+        print(f"wrote {HW_VALIDATION} (env stamp {env})")
     else:
         print("skipping hw_validation.json (no green dedup run)")
+        # loud stale-validation flag: if the existing record was measured
+        # under different versions than this sweep ran, fused_dedup='auto'
+        # is silently OFF everywhere until a green implicit600 re-records it
+        try:
+            with open(HW_VALIDATION) as f:
+                old = json.load(f).get("fused_dedup", {}).get("env")
+            cur = runtime_env()
+            if old and any(
+                old.get(k) != cur.get(k) for k in ("jax", "jaxlib", "libtpu")
+            ):
+                print(
+                    f"*** REVALIDATION NEEDED: hw_validation.json is stamped "
+                    f"{old} but this sweep ran {cur} — fused_dedup='auto' is "
+                    f"disabled until implicit600 holds its golden on these "
+                    f"versions ***"
+                )
+        except (OSError, ValueError):
+            pass
 
     with open(GOLDENS) as f:
         goldens = json.load(f)
@@ -151,6 +205,8 @@ def main(argv):
         goldens[key] = {"psnr": round(float(psnr), 2), "band": 0.35}
         changed = True
         print(f"recorded golden {key}: {goldens[key]}")
+    if changed and "_env" not in goldens:
+        goldens["_env"] = runtime_env()
     if changed:
         with open(GOLDENS, "w") as f:
             json.dump(goldens, f, indent=2)

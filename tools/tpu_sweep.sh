@@ -1,9 +1,10 @@
 #!/bin/bash
-# Round-4 TPU measurement sweep (VERDICT r3 items 1/2/5): measures the
-# round-3 perf deliverables that the tunnel outage left unverified —
-# dedup on/off, flat Adam (now default everywhere), MARF_FUSED_STREAMS,
-# bf16 on the current v4/v5 kernel — across all five eval cases.
-# One JSON line per run in $MARF_SWEEP_OUT (default /tmp/tpu_sweep.jsonl).
+# Round-5 TPU measurement sweep (VERDICT r4 items 3/6/9): re-measures the
+# standard eval cases as harvestable rows (the round-4 finals lived only in
+# PERF.md prose), records the full-3000 bf16 canonical outcome, isolates the
+# dedup win, and carries the ready-to-run multi-chip stage that auto-skips
+# on the 1-chip tunnel. One JSON line per run in $MARF_SWEEP_OUT (default
+# /tmp/tpu_sweep.jsonl); archive completed sweeps under tools/sweeps/.
 #
 # MARF_SWEEP_RESUME=1 appends to an existing $MARF_SWEEP_OUT and skips tags
 # that already have a measured row — so a mid-sweep tunnel death costs only
@@ -59,6 +60,10 @@ AUX_TAGS=""
 
 aux() {
   # Non-bench stage (profiler trace / tripwire): tag + command...
+  # rc classification (VERDICT r4 weak-2): rc 124/137 = the stage was
+  # timeout-killed — an infra-outage row ("error": true, retried on resume),
+  # NOT a tool verdict; any other nonzero rc is the tool's own failure
+  # ("ok": false — e.g. the tripwire's "shipped pattern produced NaN").
   local tag=$1; shift
   AUX_TAGS="$AUX_TAGS $tag"
   if [ -n "${MARF_SWEEP_RESUME:-}" ] && have "\"tag\": \"$tag\", \"ok\": true"; then
@@ -66,16 +71,22 @@ aux() {
     return
   fi
   echo "=== $tag $(date -u +%H:%M:%S) ===" >> "$LOG"
-  if "$@" >> "$LOG" 2>&1; then
+  "$@" >> "$LOG" 2>&1
+  local rc=$?
+  if [ "$rc" -eq 0 ]; then
     echo "{\"tag\": \"$tag\", \"ok\": true}" >> "$OUT"
+  elif [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ]; then
+    echo "{\"tag\": \"$tag\", \"error\": true, \"rc\": $rc}" >> "$OUT"
   else
-    echo "{\"tag\": \"$tag\", \"ok\": false}" >> "$OUT"
+    echo "{\"tag\": \"$tag\", \"ok\": false, \"rc\": $rc}" >> "$OUT"
   fi
 }
 
-# 1. current defaults (flat adam + sq output); implicit600 forces dedup=on —
-#    its golden check on real TPU is the hardware validation the 'auto'
-#    default gate (models/planar.dedup_hw_validated) is waiting for.
+# 1. standard eval cases at current defaults, golden checks ON — the
+#    harvestable confirmation rows for the headline table (VERDICT r4 item 3).
+#    implicit600 forces dedup=on: its golden check on real TPU IS the
+#    hardware validation harvest_sweep re-records (with the env stamp) into
+#    marf_tpu/hw_validation.json.
 #    The first run keeps the backend probe (outage insurance if the sweep is
 #    launched by hand without one); later runs skip it — the tunnel was
 #    green seconds ago, and the probe costs a full TPU client init each.
@@ -85,41 +96,40 @@ run canonical600      MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600
 # fail in 90s instead of hanging for their full 2400s timeout
 if have '"tag": "canonical600", "r":'; then export MARF_BENCH_PROBE=0; fi
 # headline recapture (3000 iters, golden check ON, same compiled program as
-# canonical600 → compile-cache hit): lands the >=428 steps/s evidence even if
-# the tunnel dies again before the driver's end-of-round bench
+# canonical600 → compile-cache hit)
 run canonical3000     MARF_BENCH_CASE=canonical
 run implicit600       MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_FUSED_DEDUP=on
 run implicit_s600     MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600
 run noposenc600       MARF_BENCH_CASE=noposenc MARF_BENCH_ITERS=600
 run edges600          MARF_BENCH_CASE=edges_only MARF_BENCH_ITERS=600
-# 2. streams sweep
-run canon_s2          MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=2
-run canon_s3          MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=3
-run implicit_s2       MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_FUSED_STREAMS=2
-run implicit_single_s2 MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=2
-# 2b. lazy-metrics attribution (chunk-final-only edge term / hom error /
-#     Mask_Error; auto = on-TPU default)
-run canon_lazyoff     MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_LAZY_METRICS=off
-run implicit_lazyoff  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_BENCH_LAZY_METRICS=off
-# 3. bf16 re-measure on the shipping v4/v5 kernel (VERDICT r2 item 7).
-#    bf16 alone measured flat on earlier variants — consistent with the
-#    dependent-chain bound (PERF.md): if the kernel is serialized on one
-#    chain's latency, halving matmul cost doesn't shorten the critical path.
-#    Streams break the serialization, so bf16's 2x MXU rate may only pay off
-#    COMBINED with streams — measured here.
-run canon_bf16        MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_DTYPE=bfloat16
-run canon_s2_bf16     MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_FUSED_STREAMS=2 MARF_BENCH_DTYPE=bfloat16
-run implicit_s2_bf16  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_FUSED_STREAMS=2 MARF_BENCH_DTYPE=bfloat16
-# 4. implicit dedup off (isolate the dedup win)
+# 2. dedup attribution (isolate the dedup win on the same code)
 run implicit_nodedup  MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=off
-# 4b. profiler traces for the post-sweep glue attack (per-op tables into the
-#     log; tiny traced windows per CLAUDE.md tunnel rules)
+# 3. bf16: the documented speed knob. canon3000_bf16 records the FULL-3000
+#    convergence outcome (VERDICT r4 item 6 — the yaml note previously rested
+#    on 600-iter evidence only; bench skips the f32 goldens for bf16 runs and
+#    just reports the PSNR).
+run canon_bf16        MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_DTYPE=bfloat16
+run canon3000_bf16    MARF_BENCH_CASE=canonical MARF_BENCH_DTYPE=bfloat16
+run implicit_bf16     MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_FUSED_DEDUP=on MARF_BENCH_DTYPE=bfloat16
+# 4. profiler traces for per-op attribution (tiny traced windows per
+#    CLAUDE.md tunnel rules)
 aux profile_implicit  timeout 1200 env MARF_BENCH_CASE=implicit MARF_BENCH_FUSED_DEDUP=on \
                         python tools/profile_step.py /tmp/marf_prof_implicit
+aux profile_implicit_single timeout 1200 env MARF_BENCH_CASE=implicit_single \
+                        python tools/profile_step.py /tmp/marf_prof_implicit_single
 aux profile_canonical timeout 1200 env MARF_BENCH_CASE=canonical \
                         python tools/profile_step.py /tmp/marf_prof_canonical
 # 5. XLA miscompile tripwire (shipped edge-conv layout must stay NaN-free)
 aux miscompile_tripwire timeout 2400 python tools/xla_miscompile_tripwire.py
+# 6. stretch (VERDICT r4 item 9): multi-chip throughput — per-image heads and
+#    canonical under shard_map on a real mesh. Auto-skips on the 1-chip
+#    tunnel; the day a pod window appears, these rows measure themselves.
+NDEV=$(timeout 120 python -c "import jax; print(len(jax.devices()))" 2>>"$LOG" || echo 1)
+if [ "${NDEV:-1}" -gt 1 ] 2>/dev/null; then
+  run implicit_single_mesh MARF_BENCH_CASE=implicit_single MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_DEVICES="$NDEV"
+  run implicit_mesh        MARF_BENCH_CASE=implicit MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_BENCH_FUSED_DEDUP=on MARF_DEVICES="$NDEV"
+  run canonical_mesh       MARF_BENCH_CASE=canonical MARF_BENCH_ITERS=600 MARF_BENCH_CHECK=0 MARF_DEVICES="$NDEV"
+fi
 
 # Completeness gate: exit 0 only if every tag has a measured/ok row (the
 # watcher retries an incomplete sweep on the next green probe).

@@ -28,7 +28,11 @@ attempt=0
 while true; do
   # the probe EXECUTES a matmul: a wedged chip still enumerates devices while
   # every execute hangs (bench.probe_backend docstring, round-4c)
-  if [ ! -e /tmp/tpu_lock ] && timeout 90 python -c "import jax, jax.numpy as jnp; jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))" 2>/dev/null; then
+  # -k 120: a probe hung in an uninterruptible libtpu call can ignore the
+  # 90s SIGTERM; escalate to SIGKILL after a grace period so the watcher
+  # never wedges holding a chip process (same escalation policy as
+  # bench.probe_backend; ADVICE r4)
+  if [ ! -e /tmp/tpu_lock ] && timeout -k 120 90 python -c "import jax, jax.numpy as jnp; jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))" 2>/dev/null; then
     attempt=$((attempt + 1))
     echo "TUNNEL BACK $(date -u) — sweep attempt $attempt/$MAX_ATTEMPTS" > /tmp/tpu_status
     touch /tmp/tpu_lock
