@@ -549,13 +549,37 @@ class Model:
 
     def _mux_video(self):
         """vis.mp4 from the frame dumps (reference model/planar.py:163-165);
-        gated on ffmpeg availability."""
+        ffmpeg when available (reference-identical invocation), else a
+        cv2.VideoWriter mp4v fallback so the artifact exists in ffmpeg-less
+        images too (frames are kept in vis/ either way)."""
         ffmpeg = shutil.which("ffmpeg")
-        if not ffmpeg:
-            log.warn("ffmpeg not found; skipping vis.mp4 mux (frames kept in vis/)")
+        if ffmpeg:
+            subprocess.run(
+                [ffmpeg, "-y", "-framerate", "30", "-i", f"{self.vis_path}/%d.png", "-pix_fmt", "yuv420p", self.video_fname],
+                check=False,
+                capture_output=True,
+            )
             return
-        subprocess.run(
-            [ffmpeg, "-y", "-framerate", "30", "-i", f"{self.vis_path}/%d.png", "-pix_fmt", "yuv420p", self.video_fname],
-            check=False,
-            capture_output=True,
+        try:
+            import cv2
+        except ImportError:
+            log.warn("neither ffmpeg nor cv2 found; skipping vis.mp4 mux (frames kept in vis/)")
+            return
+        frames = sorted(
+            (f for f in os.listdir(self.vis_path) if f.endswith(".png")),
+            key=lambda f: int(f.split(".")[0]),
         )
+        if not frames:
+            return
+        first = cv2.imread(os.path.join(self.vis_path, frames[0]))
+        h, w = first.shape[:2]
+        writer = cv2.VideoWriter(
+            self.video_fname, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h)
+        )
+        if not writer.isOpened():
+            log.warn("cv2 VideoWriter failed to open; skipping vis.mp4 mux")
+            return
+        for f in frames:
+            writer.write(cv2.imread(os.path.join(self.vis_path, f)))
+        writer.release()
+        log.info(f"muxed {len(frames)} frames -> {self.video_fname} (cv2 mp4v)")

@@ -321,6 +321,30 @@ def mask_w_stack_batched(head_params: dict, table: jax.Array, n_heads: int) -> l
     return [jax.tree.map(lambda *xs: jnp.stack(xs), *layers) for layers in zip(*per_head)]
 
 
+def _mask_fwd_tile_multi(xs, wt_refs, b_refs, n_layers, cdtype, keep_acts=False):
+    """Multi-stream variant of _mask_fwd_tile, layer-phased like
+    fused_step._stack_fwd_multi: per LAYER, all streams' MXU dots issue
+    back-to-back before any stream's relu/sigmoid, so stream s+1's dot can
+    run under stream s's VPU phase. Per-stream arithmetic is identical to
+    _mask_fwd_tile — only instruction order changes (ns=1 emits the same
+    program). Returns (ms[stream], acts[layer][stream])."""
+    hs = [x.astype(cdtype) for x in xs]
+    acts = [hs]
+    ms = None
+    for li in range(n_layers):
+        zs = [
+            mxu_dot(wt_refs[li][:], h, (((1,), (0,)), ((), ()))) + b_refs[li][:]
+            for h in hs
+        ]
+        if li != n_layers - 1:
+            hs = [jax.nn.relu(z).astype(cdtype) for z in zs]
+            if keep_acts:
+                acts.append(hs)
+        else:
+            ms = [jax.nn.sigmoid(z[0:1, :]) for z in zs]  # f32 [1, W] each
+    return ms, acts
+
+
 def _mask_fwd_tile(x, wt_refs, b_refs, n_layers, cdtype, keep_acts=False):
     """Factored mask-head forward on one [X_ROWS, SUB] tile. wt_refs are the
     current head's 2-D [out, in] blocks (the head-stacked arrays are kept
@@ -513,10 +537,22 @@ def _mask_bwd_g_kernel(n_mask, T, rp_last, n_streams, cdtype, scalars_ref, x_ref
     c_s = scalars_ref[2]
     k_s = scalars_ref[3]
 
+    # Layer-phased across streams (round 5): the recompute fwd, the cotangent
+    # VPU phase, and the bwd chain each issue all streams' MXU dots
+    # back-to-back per layer (same structure as fused_step._stack_*_multi) —
+    # kernel B is a single strictly-serial dependent chain per stream, and
+    # at SUB-lane dots shorter than the ~3.5 us MXU pipeline bubble the
+    # sequential-stream emission left the bubbles unfilled (the round-4
+    # "streams flat" rows measured the SEQUENTIAL form of this kernel).
+    # Per-accumulator add order (stream 0, 1, ...) is preserved, so ns>1
+    # numerics are unchanged and ns=1 emits the identical program.
     W = x_ref.shape[-1] // n_streams
-    for s in range(n_streams):
-        sl = slice(s * W, (s + 1) * W)
-        m, acts = _mask_fwd_tile(x_ref[:, sl], mwt, mb, n_mask, cdtype, keep_acts=True)
+    slices = [slice(s * W, (s + 1) * W) for s in range(n_streams)]
+    ms, acts = _mask_fwd_tile_multi(
+        [x_ref[:, sl] for sl in slices], mwt, mb, n_mask, cdtype, keep_acts=True
+    )
+    ds = []
+    for m, sl in zip(ms, slices):
         cnt = cnt_ref[:, sl]
         gcot = (a_s * sq_ref[:, sl] + b_s * esq_ref[:, sl] + c_s * cnt) * m + k_s * cnt
         d = (gcot * m * (1.0 - m)).astype(cdtype)
@@ -526,14 +562,19 @@ def _mask_bwd_g_kernel(n_mask, T, rp_last, n_streams, cdtype, scalars_ref, x_ref
             # zero rows so the generic dW/db/dh chain below runs on the
             # padded shapes
             d = jnp.concatenate([d, jnp.zeros((rp_last - 1, d.shape[1]), d.dtype)], axis=0)
+        ds.append(d)
 
-        for li in range(n_mask - 1, -1, -1):
-            a = acts[li]
+    for li in range(n_mask - 1, -1, -1):
+        a_sl = acts[li]
+        for d, a in zip(ds, a_sl):
             acc_dw[li][:] += mxu_dot(d, a, (((1,), (1,)), ((), ())))
             acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
-            if li > 0:
-                da = mxu_dot(mw[li][:], d, (((1,), (0,)), ((), ())))
-                d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
+        if li > 0:
+            das = [mxu_dot(mw[li][:], d, (((1,), (0,)), ((), ()))) for d in ds]
+            ds = [
+                (da * (a.astype(jnp.float32) > 0.0)).astype(cdtype)
+                for da, a in zip(das, a_sl)
+            ]
 
     @pl.when(i == T - 1)
     def _writeout():
@@ -829,24 +870,34 @@ def _mask_bwd_dedup_kernel(n_mask, T, n_streams, has_esq, cdtype, scalars_ref, x
     b_s = scalars_ref[1]
     k_s = scalars_ref[2]
 
+    # layer-phased across streams, same rationale/ordering argument as
+    # _mask_bwd_g_kernel (per-accumulator stream order preserved; ns=1
+    # emits the identical program)
     W = x_ref.shape[-1] // n_streams
-    for s in range(n_streams):
-        sl = slice(s * W, (s + 1) * W)
-        m, acts = _mask_fwd_tile(x_ref[:, sl], mwt, mb, n_mask, cdtype, keep_acts=True)
+    slices = [slice(s * W, (s + 1) * W) for s in range(n_streams)]
+    ms, acts = _mask_fwd_tile_multi(
+        [x_ref[:, sl] for sl in slices], mwt, mb, n_mask, cdtype, keep_acts=True
+    )
+    ds = []
+    for m, sl in zip(ms, slices):
         s0m = s0m_ref[:, sl]
         seg = a_s * jnp.sum(s0m * sqb_ref[:, sl], axis=0, keepdims=True) + base_ref[:, sl]
         if has_esq:
             seg += b_s * jnp.sum(s0m * esqb_ref[:, sl], axis=0, keepdims=True)
         gcot = seg * m + k_s * cnt_ref[:, sl]
-        d = (gcot * m * (1.0 - m)).astype(cdtype)
+        ds.append((gcot * m * (1.0 - m)).astype(cdtype))
 
-        for li in range(n_mask - 1, -1, -1):
-            a = acts[li]
+    for li in range(n_mask - 1, -1, -1):
+        a_sl = acts[li]
+        for d, a in zip(ds, a_sl):
             acc_dw[li][:] += mxu_dot(d, a, (((1,), (1,)), ((), ())))
             acc_db[li][:] += jnp.sum(d.astype(jnp.float32), axis=1, keepdims=True)
-            if li > 0:
-                da = mxu_dot(mw[li][:], d, (((1,), (0,)), ((), ())))
-                d = (da * (acts[li].astype(jnp.float32) > 0.0)).astype(cdtype)
+        if li > 0:
+            das = [mxu_dot(mw[li][:], d, (((1,), (0,)), ((), ()))) for d in ds]
+            ds = [
+                (da * (a.astype(jnp.float32) > 0.0)).astype(cdtype)
+                for da, a in zip(das, a_sl)
+            ]
 
     @pl.when(i == T - 1)
     def _writeout():
