@@ -266,16 +266,21 @@ def main():
     chunk = m._chunk(CHUNK)
     state, data = m.state, m.train_data
 
-    # warmup: compile + first chunk(s)
+    # warmup: compile + first chunk(s). Block on METRICS, not the state:
+    # the state's param buffers are donated aliases (donate_argnums), and
+    # block_until_ready on a donated-alias output was observed returning
+    # before execution finished (round-5, recovering chip) — a 500-step
+    # run "timed" at 0.00s. The metrics are fresh scan-stacked outputs, so
+    # blocking on them always waits for the real execution.
     for _ in range(WARMUP_CHUNKS):
         state, metrics = chunk(state, data)
-    jax.block_until_ready(state.params["warp"])
+    jax.block_until_ready(metrics)
 
     n_timed = MAX_ITER - WARMUP_CHUNKS * CHUNK
     t0 = time.perf_counter()
     for _ in range(n_timed // CHUNK):
         state, metrics = chunk(state, data)
-    jax.block_until_ready(state.params["warp"])
+    jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
     steps_per_sec = n_timed / dt
 

@@ -446,7 +446,12 @@ class Model:
                 self._profiling = True
             self.timer.tic()
             self.state, metrics = self._chunk(n)(self.state, self.train_data)
-            jax.block_until_ready(self.state.params["warp"])
+            # block on the METRICS (fresh scan outputs), not the state: the
+            # state's param buffers are donated aliases, and block_until_ready
+            # on a donated-alias output was observed returning before the
+            # execution finished (bench.py round-5 note) — which would make
+            # the iteration timer and the profiler window meaningless
+            jax.block_until_ready(metrics)
             self.timer.toc(n)
             chunk_idx += 1
             if self._profiling and chunk_idx >= 1 + profile_chunks:
