@@ -266,21 +266,22 @@ def main():
     chunk = m._chunk(CHUNK)
     state, data = m.state, m.train_data
 
-    # warmup: compile + first chunk(s). Block on METRICS, not the state:
-    # the state's param buffers are donated aliases (donate_argnums), and
-    # block_until_ready on a donated-alias output was observed returning
-    # before execution finished (round-5, recovering chip) — a 500-step
-    # run "timed" at 0.00s. The metrics are fresh scan-stacked outputs, so
-    # blocking on them always waits for the real execution.
+    # warmup: compile + first chunk(s). Sync by PULLING the metrics to the
+    # host (device_get), NOT jax.block_until_ready: on this TPU runtime,
+    # block_until_ready was observed returning before execution finished —
+    # first on donated-alias state buffers, then (implicit_single, round-5
+    # sweep) even on the fresh metrics outputs — producing a 500-step run
+    # "timed" at 0.00s. A device->host copy cannot return early, and the
+    # metrics are tiny ([chunk, ~10] scalar rows).
     for _ in range(WARMUP_CHUNKS):
         state, metrics = chunk(state, data)
-    jax.block_until_ready(metrics)
+    metrics = jax.device_get(metrics)
 
     n_timed = MAX_ITER - WARMUP_CHUNKS * CHUNK
     t0 = time.perf_counter()
     for _ in range(n_timed // CHUNK):
         state, metrics = chunk(state, data)
-    jax.block_until_ready(metrics)
+    metrics = jax.device_get(metrics)
     dt = time.perf_counter() - t0
     steps_per_sec = n_timed / dt
 

@@ -446,12 +446,14 @@ class Model:
                 self._profiling = True
             self.timer.tic()
             self.state, metrics = self._chunk(n)(self.state, self.train_data)
-            # block on the METRICS (fresh scan outputs), not the state: the
-            # state's param buffers are donated aliases, and block_until_ready
-            # on a donated-alias output was observed returning before the
-            # execution finished (bench.py round-5 note) — which would make
-            # the iteration timer and the profiler window meaningless
-            jax.block_until_ready(metrics)
+            # sync by PULLING the metrics to the host, not block_until_ready:
+            # on this TPU runtime block_until_ready was observed returning
+            # before execution finished (donated-alias state buffers, and for
+            # implicit_single even the fresh metric outputs — bench.py
+            # round-5 note), which would make the iteration timer and the
+            # profiler window meaningless. The rows are tiny and every chunk
+            # boundary is a log boundary anyway.
+            metrics = jax.device_get(metrics)
             self.timer.toc(n)
             chunk_idx += 1
             if self._profiling and chunk_idx >= 1 + profile_chunks:
