@@ -112,3 +112,43 @@ def test_planar_config_from_options():
     cfg2 = PlanarConfig.from_options(opt2)
     assert cfg2.arch.posenc_L is None
     assert cfg2.arch.input_dim == 2
+
+
+def test_fused_streams_auto_resolution(monkeypatch):
+    """tpu.fused_streams=0 resolves to 2 ONLY for the single-chip TPU dedup
+    pipeline (measured +1.0% round 5, PERF.md); everything else keeps 0
+    (= the env default). The test mocks the backend/validation gates the
+    resolution consults (models/planar.from_options)."""
+    from marf_tpu.models import planar as pm
+
+    def implicit_opt():
+        opt = load_options(resolve_yaml_path("planar"))
+        opt.barf_c2f = [0, 0.4]
+        opt.use_masks = False
+        opt.use_implicit_mask = True
+        return opt
+
+    # CPU/test backend: stays 0 (dedup default only fires on real TPU)
+    assert pm.PlanarConfig.from_options(implicit_opt()).arch.fused_streams == 0
+
+    monkeypatch.setattr(pm.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pm.jax, "devices", lambda: [object()])
+    monkeypatch.setattr(pm, "dedup_hw_validated", lambda: True)
+    assert pm.PlanarConfig.from_options(implicit_opt()).arch.fused_streams == 2
+
+    # per-image heads admit no dedup -> env default
+    opt = implicit_opt()
+    opt.build_single_masks = True
+    assert pm.PlanarConfig.from_options(opt).arch.fused_streams == 0
+    # fixed-mask canonical config -> env default
+    opt = load_options(resolve_yaml_path("planar"))
+    opt.barf_c2f = [0, 0.4]
+    assert pm.PlanarConfig.from_options(opt).arch.fused_streams == 0
+    # explicit pin wins over the auto default
+    opt = implicit_opt()
+    opt.tpu.fused_streams = 1
+    assert pm.PlanarConfig.from_options(opt).arch.fused_streams == 1
+    # multi-chip: mesh path keeps the env default (sharded dedup inputs pad
+    # the column axis without a stream-count input)
+    monkeypatch.setattr(pm.jax, "devices", lambda: [object(), object()])
+    assert pm.PlanarConfig.from_options(implicit_opt()).arch.fused_streams == 0
