@@ -42,10 +42,33 @@ from marf_tpu.utils import vis as vis_lib
 from marf_tpu.utils.console import IterTimer, colorcode_to_number, log
 
 
+def _setup_compilation_cache():
+    """Persist EVERY compiled program, and default the cache dir on TPU.
+
+    A train.py lifecycle compiles ~48 small setup programs (grid builds,
+    edge precompute, constant-stream staging, render helpers) besides the
+    train chunk; through the remote-TPU tunnel each compile costs ~0.5 s of
+    round-trip even when the program itself is trivial — ~28 s of a 34 s
+    600-iter run (round-5 cProfile). jax's persistent cache skips programs
+    that compile in <1 s by default, which is exactly the class that
+    matters here, so zero the thresholds; and without a cache dir the
+    cache is off entirely, so default one on TPU (JAX_COMPILATION_CACHE_DIR
+    overrides; harmless on CPU test runs where no dir is set).
+    """
+    try:
+        if jax.config.jax_compilation_cache_dir is None and jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except AttributeError:  # older jax without these knobs
+        pass
+
+
 class Model:
     """Planar bundle-adjustment trainer (drop-in lifecycle of the reference Model)."""
 
     def __init__(self, opt):
+        _setup_compilation_cache()
         self.opt = opt
         self.cfg = PlanarConfig.from_options(opt)
         self.mesh = None
@@ -428,59 +451,92 @@ class Model:
         log.title("TRAINING DONE")
 
     def _train_loop(self, pbar, c, max_iter, freq, profile_chunks):
-        """The chunked training loop body. An in-flight profiler trace is
+        """The chunked training loop body, pipelined one chunk deep: chunk
+        k+1 is DISPATCHED before chunk k's metrics are pulled to the host,
+        so the ~30 ms remote-dispatch round-trip overlaps device execution
+        instead of serializing with it (measured round 5 at the reference's
+        freq.scalar=20 cadence: 292 -> 486 it/s on the canonical config).
+        Scalar rows carry their own step value, so TB output is identical;
+        boundaries that need the CURRENT state (vis, checkpoint, profiler
+        windows) drain the pipeline first. An in-flight profiler trace is
         tracked on self._profiling so train()'s finally clause always closes
         it, even when the per-step finite check raises mid-chunk."""
         self._profiling = False
-        postfix = {}
+        self._postfix = {}
         chunk_idx = 0
+        pending = None  # (it_after_chunk, n_steps, device metrics) not yet consumed
+
+        def consume(p):
+            it_k, n_k, md = p
+            # PULL to the host (device_get), not block_until_ready: on this
+            # TPU runtime block_until_ready was observed returning before
+            # execution finished (donated-alias state buffers, and for
+            # implicit_single even the fresh metric outputs — bench.py
+            # round-5 note), which would make the iteration timer and the
+            # profiler window meaningless.
+            md = jax.device_get(md)
+            # every step of every chunk is checked (the reference asserts
+            # per-iteration, model/planar.py:181-182): a transient NaN
+            # mid-chunk fails here even if the last step recovered. With the
+            # pipeline the raise lands one chunk late but reports the exact
+            # first bad iteration.
+            finite_steps = np.atleast_1d(np.asarray(md.get("finite", True)))
+            if not bool(finite_steps.all()):
+                first_bad = it_k - len(finite_steps) + int(np.argmin(finite_steps)) + 1
+                raise FloatingPointError(f"non-finite loss at iteration {first_bad}")
+            if it_k % freq.scalar == 0:
+                row = {k: np.asarray(v)[-1] for k, v in md.items()}
+                row.pop("finite", None)
+                if self.tb:
+                    self.log_scalars(row, step=it_k)
+                self._postfix = dict(it=it_k, loss=f"{float(row['all']):.3f}", it_per_sec=f"{self.timer.steps_per_sec:.1f}")
+            pbar.update(n_k)
+            pbar.set_postfix(**self._postfix)
+
         while self.it < max_iter:
             n = min(c, max_iter - self.it)
             # profile as a pure overlay on the normal loop: the trace spans
             # chunks [1, 1+profile_chunks) (chunk 0 carries the compile), and
             # logging / vis / checkpoint cadences are unaffected (SURVEY.md
             # §5: jax.profiler device trace as the tracing subsystem; view
-            # with tensorboard --logdir <output>/profile)
+            # with tensorboard --logdir <output>/profile). Profiling drains
+            # the pipeline at the window edges so the trace covers exactly
+            # the intended chunks.
             if profile_chunks and chunk_idx == 1:
+                if pending is not None:
+                    consume(pending)
+                    pending = None
                 jax.profiler.start_trace(f"{self.opt.output_path}/profile")
                 self._profiling = True
             self.timer.tic()
             self.state, metrics = self._chunk(n)(self.state, self.train_data)
-            # sync by PULLING the metrics to the host, not block_until_ready:
-            # on this TPU runtime block_until_ready was observed returning
-            # before execution finished (donated-alias state buffers, and for
-            # implicit_single even the fresh metric outputs — bench.py
-            # round-5 note), which would make the iteration timer and the
-            # profiler window meaningless. The rows are tiny and every chunk
-            # boundary is a log boundary anyway.
-            metrics = jax.device_get(metrics)
+            self.it += n
+            ckpt_freq = freq.get("ckpt")
+            needs_state = (
+                self.it % freq.vis == 0
+                or (ckpt_freq and self.it % ckpt_freq == 0)
+                or self.it >= max_iter
+                or self._profiling
+            )
+            if pending is not None:
+                consume(pending)  # blocks on chunk k while chunk k+1 runs
+                pending = None
+            pending = (self.it, n, metrics)
+            if needs_state:
+                consume(pending)
+                pending = None
             self.timer.toc(n)
             chunk_idx += 1
             if self._profiling and chunk_idx >= 1 + profile_chunks:
                 jax.profiler.stop_trace()
                 self._profiling = False
                 log.info(f"profiler trace written to {self.opt.output_path}/profile")
-            self.it += n
-            # every step of every chunk is checked (the reference asserts
-            # per-iteration, model/planar.py:181-182): a transient NaN
-            # mid-chunk fails here even if the last step recovered
-            finite_steps = np.atleast_1d(np.asarray(metrics.get("finite", True)))
-            if not bool(finite_steps.all()):
-                first_bad = self.it - len(finite_steps) + int(np.argmin(finite_steps)) + 1
-                raise FloatingPointError(f"non-finite loss at iteration {first_bad}")
-            if self.it % freq.scalar == 0:
-                row = {k: np.asarray(v)[-1] for k, v in metrics.items()}
-                row.pop("finite", None)
-                if self.tb:
-                    self.log_scalars(row, step=self.it)
-                postfix = dict(it=self.it, loss=f"{float(row['all']):.3f}", it_per_sec=f"{self.timer.steps_per_sec:.1f}")
             if self.it % freq.vis == 0:
                 self.visualize(step=self.it)
-            ckpt_freq = freq.get("ckpt")
             if ckpt_freq and self.it % ckpt_freq == 0:
                 ckpt_lib.save_checkpoint(self.opt.output_path, self.state)
-            pbar.update(n)
-            pbar.set_postfix(**postfix)
+        if pending is not None:
+            consume(pending)
 
     # ------------------------------------------------------------ observability
 
