@@ -202,8 +202,12 @@ def probe_backend():
     if _cpu_only():
         return  # CPU-first config: no tunnel involved; skip the second jax import
     timeout_s = float(os.environ.get("MARF_BENCH_PROBE_TIMEOUT", 90))
-    code = ("import jax, jax.numpy as jnp; "
-            "jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128))); "
+    # the probe FETCHES the matmul result (device->host copy) rather than
+    # block_until_ready: ready events can signal early on this runtime
+    # (PERF.md round-5), and a wedged chip must not pass the probe
+    code = ("import jax, jax.numpy as jnp, numpy as np; "
+            "v = np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))[0, 0]; "
+            "assert v == 128.0, v; "
             "print(jax.devices()[0])")
     proc = subprocess.Popen(
         [sys.executable, "-c", code],

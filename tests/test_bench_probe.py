@@ -136,7 +136,10 @@ def test_probe_code_executes_an_op(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "tpu")
     monkeypatch.setattr(subprocess, "Popen", fake_popen)
     bench.probe_backend()
-    assert "block_until_ready" in captured["code"]
+    # the probe must EXECUTE a matmul and FETCH the result to the host —
+    # ready events can signal early on this runtime (PERF.md round-5), so
+    # a block_until_ready-style probe could pass a wedged chip
+    assert "asarray" in captured["code"]
     assert "@" in captured["code"]
 
 

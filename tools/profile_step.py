@@ -22,6 +22,9 @@ import bench
 
 
 def main():
+    if any(a in ("--help", "-h") for a in sys.argv[1:]):
+        print(__doc__)
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     trace_dir = args[0] if args else "/tmp/marf_prof"
     n_chunks = 3
@@ -33,13 +36,16 @@ def main():
     bench.log(f"profiling case {bench.CASE} on {jax.devices()[0]} -> {trace_dir}")
     chunk = m._chunk(20)
     state, data = m.state, m.train_data
+    # sync by pulling metrics to the host — block_until_ready can return
+    # early on this runtime (PERF.md round-5), which would end the trace
+    # window before the traced chunks finished executing
     for _ in range(2):
-        state, _ = chunk(state, data)
-    jax.block_until_ready(state.params["warp"])
+        state, mets = chunk(state, data)
+    jax.device_get(mets)
     with jax.profiler.trace(trace_dir):
         for _ in range(n_chunks):
-            state, _ = chunk(state, data)
-        jax.block_until_ready(state.params["warp"])
+            state, mets = chunk(state, data)
+        jax.device_get(mets)
     bench.log(f"traced {n_chunks * 20} steps")
     os.system(f"{sys.executable} {os.path.join(os.path.dirname(__file__), 'parse_trace.py')} {trace_dir} --raw --top 25")
 

@@ -32,7 +32,7 @@ while true; do
   # 90s SIGTERM; escalate to SIGKILL after a grace period so the watcher
   # never wedges holding a chip process (same escalation policy as
   # bench.probe_backend; ADVICE r4)
-  if [ ! -e /tmp/tpu_lock ] && timeout -k 120 90 python -c "import jax, jax.numpy as jnp; jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))" 2>/dev/null; then
+  if [ ! -e /tmp/tpu_lock ] && timeout -k 120 90 python -c "import jax, jax.numpy as jnp, numpy as np; assert np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))[0, 0] == 128.0" 2>/dev/null; then
     attempt=$((attempt + 1))
     echo "TUNNEL BACK $(date -u) — sweep attempt $attempt/$MAX_ATTEMPTS" > /tmp/tpu_status
     touch /tmp/tpu_lock
