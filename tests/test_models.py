@@ -226,3 +226,44 @@ def test_graph_loss_no_masks(rng):
     # unmasked MSE path
     expected = np.mean((np.asarray(out["rgb_prediction_map"]) - np.asarray(data["rgb"])) ** 2)
     np.testing.assert_allclose(float(loss["rgb"]), expected, rtol=1e-5)
+
+
+def test_dedup_hw_validation_env_gate(tmp_path, monkeypatch):
+    """fused_dedup='auto' refuses a validation recorded under different
+    {jax, jaxlib, libtpu} versions (VERDICT r4 weak-1: the miscompiles the
+    gate guards against were version-specific), and a pre-stamp record
+    (no env) counts as stale."""
+    import json
+    import warnings
+
+    import pytest
+
+    from marf_tpu.models import planar as pm
+
+    f = tmp_path / "hw_validation.json"
+    monkeypatch.setattr(pm, "_HW_VALIDATION_FILE", str(f))
+    monkeypatch.setattr(pm.jax, "default_backend", lambda: "tpu")
+
+    # stale versions -> False, with a one-time warning
+    f.write_text(json.dumps({"fused_dedup": {"validated": True, "env": {
+        "jax": "0.0.1", "jaxlib": "0.0.1", "libtpu": None}}}))
+    monkeypatch.setattr(pm, "_dedup_stale_warned", False)
+    with pytest.warns(UserWarning, match="revalidated"):
+        assert pm.dedup_hw_validated() is False
+
+    # matching env -> True
+    f.write_text(json.dumps({"fused_dedup": {"validated": True,
+                                             "env": pm.runtime_env()}}))
+    assert pm.dedup_hw_validated() is True
+
+    # pre-stamp record (no env) -> False
+    f.write_text(json.dumps({"fused_dedup": {"validated": True}}))
+    monkeypatch.setattr(pm, "_dedup_stale_warned", False)
+    with pytest.warns(UserWarning):
+        assert pm.dedup_hw_validated() is False
+
+    # not validated at all -> False, no warning
+    f.write_text(json.dumps({}))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert pm.dedup_hw_validated() is False
