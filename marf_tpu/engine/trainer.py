@@ -628,21 +628,37 @@ class Model:
         except ImportError:
             log.warn("neither ffmpeg nor cv2 found; skipping vis.mp4 mux (frames kept in vis/)")
             return
-        frames = sorted(
-            (f for f in os.listdir(self.vis_path) if f.endswith(".png")),
-            key=lambda f: int(f.split(".")[0]),
-        )
-        if not frames:
-            return
-        first = cv2.imread(os.path.join(self.vis_path, frames[0]))
-        h, w = first.shape[:2]
-        writer = cv2.VideoWriter(
-            self.video_fname, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h)
-        )
-        if not writer.isOpened():
-            log.warn("cv2 VideoWriter failed to open; skipping vis.mp4 mux")
-            return
-        for f in frames:
-            writer.write(cv2.imread(os.path.join(self.vis_path, f)))
-        writer.release()
-        log.info(f"muxed {len(frames)} frames -> {self.video_fname} (cv2 mp4v)")
+        # Robust teardown: only the <int>.png frames this trainer dumps are
+        # muxed (stray files in vis/ are ignored, matching ffmpeg's %d.png
+        # pattern), unreadable/short frames are skipped, and no exception
+        # may escape — a mux hiccup must not fail a finished training run.
+        try:
+            frames = sorted(
+                (f for f in os.listdir(self.vis_path)
+                 if f.endswith(".png") and f[: -len(".png")].isdigit()),
+                key=lambda f: int(f.split(".")[0]),
+            )
+            first = None
+            for f in frames:
+                first = cv2.imread(os.path.join(self.vis_path, f))
+                if first is not None:
+                    break
+            if first is None:
+                return
+            h, w = first.shape[:2]
+            writer = cv2.VideoWriter(
+                self.video_fname, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h)
+            )
+            if not writer.isOpened():
+                log.warn("cv2 VideoWriter failed to open; skipping vis.mp4 mux")
+                return
+            written = 0
+            for f in frames:
+                img = cv2.imread(os.path.join(self.vis_path, f))
+                if img is not None and img.shape[:2] == (h, w):
+                    writer.write(img)
+                    written += 1
+            writer.release()
+            log.info(f"muxed {written} frames -> {self.video_fname} (cv2 mp4v)")
+        except Exception as e:  # pragma: no cover - defensive teardown
+            log.warn(f"vis.mp4 mux failed ({e}); frames kept in {self.vis_path}")

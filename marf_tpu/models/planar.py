@@ -239,25 +239,49 @@ def runtime_env() -> dict:
     import jaxlib
 
     env = {"jax": jax.__version__, "jaxlib": jaxlib.__version__}
-    try:
-        from importlib import metadata
+    env["libtpu"] = None
+    from importlib import metadata
 
-        env["libtpu"] = metadata.version("libtpu")
-    except Exception:  # non-TPU installs have no libtpu distribution
-        env["libtpu"] = None
+    for dist in ("libtpu", "libtpu-nightly"):  # nightly = historical jax[tpu] name
+        try:
+            env["libtpu"] = f"{dist}=={metadata.version(dist)}" if dist != "libtpu" else metadata.version(dist)
+            break
+        except Exception:  # non-TPU installs have no libtpu distribution
+            continue
     return env
 
 
+def _norm_device(s) -> str:
+    """'TPU v5 lite0' (a Device str, index-suffixed) -> 'TPU v5 lite'."""
+    import re
+
+    return re.sub(r"\d+$", "", str(s)).strip()
+
+
 def _env_matches(recorded: dict | None) -> bool:
+    """Strict env comparison: jax/jaxlib/libtpu must be EQUAL (a recorded
+    None libtpu matches only a current None — an install whose libtpu
+    distribution appears or changes is a new Mosaic, exactly the miscompile
+    vector this gate guards), and the recorded device generation must match
+    the running chip (a validation on v5e says nothing about v4/v6
+    lowering). Records without the jax/jaxlib/device fields are pre-stamp
+    and count as stale."""
     if not isinstance(recorded, dict):
         return False
     cur = runtime_env()
-    for k in ("jax", "jaxlib", "libtpu"):
-        if recorded.get(k) is not None and recorded.get(k) != cur.get(k):
+    for k in ("jax", "jaxlib"):
+        if recorded.get(k) is None or recorded.get(k) != cur.get(k):
             return False
-        if recorded.get(k) is None and k != "libtpu":
-            return False  # a record without jax/jaxlib versions is pre-stamp
-    return True
+    if recorded.get("libtpu") != cur.get("libtpu"):
+        return False
+    rec_dev = recorded.get("device")
+    if not rec_dev:
+        return False
+    try:
+        cur_dev = jax.devices()[0].device_kind
+    except Exception:
+        return False
+    return _norm_device(rec_dev) == _norm_device(cur_dev)
 
 
 _dedup_stale_warned = False

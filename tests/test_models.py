@@ -244,17 +244,34 @@ def test_dedup_hw_validation_env_gate(tmp_path, monkeypatch):
     monkeypatch.setattr(pm, "_HW_VALIDATION_FILE", str(f))
     monkeypatch.setattr(pm.jax, "default_backend", lambda: "tpu")
 
+    here = {**pm.runtime_env(),
+            "device": pm.jax.devices()[0].device_kind}
+
     # stale versions -> False, with a one-time warning
     f.write_text(json.dumps({"fused_dedup": {"validated": True, "env": {
-        "jax": "0.0.1", "jaxlib": "0.0.1", "libtpu": None}}}))
+        **here, "jax": "0.0.1"}}}))
     monkeypatch.setattr(pm, "_dedup_stale_warned", False)
     with pytest.warns(UserWarning, match="revalidated"):
         assert pm.dedup_hw_validated() is False
 
-    # matching env -> True
-    f.write_text(json.dumps({"fused_dedup": {"validated": True,
-                                             "env": pm.runtime_env()}}))
+    # matching env (incl. the device generation) -> True
+    f.write_text(json.dumps({"fused_dedup": {"validated": True, "env": here}}))
     assert pm.dedup_hw_validated() is True
+
+    # different device generation, same versions -> False (a v5e validation
+    # says nothing about another chip's Mosaic lowering)
+    f.write_text(json.dumps({"fused_dedup": {"validated": True, "env": {
+        **here, "device": "TPU v9 imaginary0"}}}))
+    monkeypatch.setattr(pm, "_dedup_stale_warned", False)
+    with pytest.warns(UserWarning):
+        assert pm.dedup_hw_validated() is False
+
+    # libtpu change alone -> False (new Mosaic = the miscompile vector)
+    f.write_text(json.dumps({"fused_dedup": {"validated": True, "env": {
+        **here, "libtpu": "libtpu-nightly==9.9.9"}}}))
+    monkeypatch.setattr(pm, "_dedup_stale_warned", False)
+    with pytest.warns(UserWarning):
+        assert pm.dedup_hw_validated() is False
 
     # pre-stamp record (no env) -> False
     f.write_text(json.dumps({"fused_dedup": {"validated": True}}))

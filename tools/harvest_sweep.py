@@ -45,24 +45,18 @@ def load_rows(path):
 
 
 def runtime_env():
-    """{jax, jaxlib, libtpu, device} stamp for hardware evidence (VERDICT r4
+    """{jax, jaxlib, libtpu} stamp for hardware evidence (VERDICT r4
     weak-1): a validation/golden is only evidence for the versions it was
     measured under — models/planar.dedup_hw_validated refuses a record whose
-    stamp differs from the running process."""
-    import jax
-    import jaxlib
+    stamp differs from the running process. ONE source of stamping truth:
+    the gate's own function (importing it pulls jax but does NOT initialize
+    the backend, so a dead tunnel cannot hang the unattended watcher — the
+    device field comes from the sweep rows, bench extra.device, instead of
+    jax.devices())."""
+    sys.path.insert(0, REPO)
+    from marf_tpu.models.planar import runtime_env as _gate_runtime_env
 
-    env = {"jax": jax.__version__, "jaxlib": jaxlib.__version__}
-    try:
-        from importlib import metadata
-
-        env["libtpu"] = metadata.version("libtpu")
-    except Exception:
-        env["libtpu"] = None
-    # device comes from the sweep rows (bench extra.device), NOT jax.devices():
-    # importing jax is cheap but initializing the backend through a possibly
-    # just-died tunnel could hang the unattended watcher.
-    return env
+    return _gate_runtime_env()
 
 
 def val(rows, tag, *keys):
@@ -202,7 +196,24 @@ def main(argv):
         if psnr is None:
             print(f"golden {key}: no measurement in the sweep, skipped")
             continue
-        goldens[key] = {"psnr": round(float(psnr), 2), "band": 0.35}
+        new_entry = {"psnr": round(float(psnr), 2), "band": 0.35}
+        # env stamping: file-level _env identifies the rounding profile the
+        # goldens were recorded under. A new golden recorded under a
+        # DIFFERENT env must not inherit the old stamp — it carries its own
+        # per-entry env and a loud note (mirrors the hw_validation
+        # staleness handling; goldens from mixed envs stay distinguishable).
+        cur_env = runtime_env()
+        file_env = goldens.get("_env")
+        if file_env and any(
+            file_env.get(k) != cur_env.get(k) for k in ("jax", "jaxlib", "libtpu")
+        ):
+            new_entry["env"] = cur_env
+            print(
+                f"*** golden {key} recorded under {cur_env}, but the file-level "
+                f"_env says {file_env} — stamped per-entry; consider a "
+                f"deliberate full re-record (PERF.md entry) ***"
+            )
+        goldens[key] = new_entry
         changed = True
         print(f"recorded golden {key}: {goldens[key]}")
     if changed and "_env" not in goldens:
